@@ -1,0 +1,211 @@
+"""Tests for contrast simulation and visual-perception augmentation.
+
+Volumes are tiny (<=16^3): the test runner is a single slow CPU core and
+these checks are about semantics, not throughput.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unet_studio_tpu.ops.augment import AugOptions, visual_perception_augmentation
+from unet_studio_tpu.ops.simulate import (
+    gaussian3,
+    simulate_modality_subject,
+    simulate_modality_template,
+)
+
+
+def _phantom(n=16):
+    """Ball phantom: label 1 inside radius n/3, intensity ramp."""
+    z, y, x = np.mgrid[0:n, 0:n, 0:n]
+    r = np.sqrt((x - n / 2) ** 2 + (y - n / 2) ** 2 + (z - n / 2) ** 2)
+    label = (r < n / 3).astype(np.float32)
+    label[r < n / 6] = 2.0
+    img = np.clip(1.0 - r / (n / 2), 0, 1).astype(np.float32) * (label > 0)
+    return img, label
+
+
+IDENTITY_OPTS = AugOptions(
+    cropping=0,
+    truncation_z=0,
+    downsample_x=0,
+    downsample_y=0,
+    downsample_z=0,
+    noise=0,
+    ambient=0,
+    diffuse=0,
+    specular=0,
+    translocation_ratio=0.0,
+    rotation_x=0.0,
+    rotation_y=0.0,
+    rotation_z=0.0,
+    scaling_up=1.0,
+    scaling_down=1.0,
+    aspect_ratio=1.0,
+    perspective=0.0,
+    lens_distortion=0.0,
+    distortion=0,
+    zero_background=0,
+    rubber_stamping=0,
+    perlin_texture=0,
+)
+
+
+class TestSimulate:
+    def test_template_range_and_mask(self):
+        img, label = _phantom()
+        out = np.asarray(
+            simulate_modality_template(
+                jnp.asarray(img), jnp.asarray(label), 3, jax.random.key(0)
+            )
+        )
+        assert out.shape == img.shape
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        # voxels <= 0.02 stay 0 (train.cpp:86-90)
+        np.testing.assert_array_equal(out[img <= 0.02], 0.0)
+        # foreground spans to ~1 after renormalization
+        assert out[label > 0].max() > 0.99
+
+    def test_template_deterministic_and_key_dependent(self):
+        img, label = _phantom()
+        a = np.asarray(
+            simulate_modality_template(jnp.asarray(img), jnp.asarray(label), 3, jax.random.key(1))
+        )
+        b = np.asarray(
+            simulate_modality_template(jnp.asarray(img), jnp.asarray(label), 3, jax.random.key(1))
+        )
+        c = np.asarray(
+            simulate_modality_template(jnp.asarray(img), jnp.asarray(label), 3, jax.random.key(2))
+        )
+        np.testing.assert_array_equal(a, b)
+        assert np.abs(a - c).max() > 1e-3
+
+    def test_subject_variant(self):
+        img, _ = _phantom()
+        out = np.asarray(simulate_modality_subject(jnp.asarray(img), jax.random.key(0)))
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        np.testing.assert_array_equal(out[img <= 0.02], 0.0)
+
+    def test_gaussian3_smooths(self, rng):
+        v = rng.standard_normal((8, 8, 8)).astype(np.float32)
+        s = np.asarray(gaussian3(jnp.asarray(v)))
+        assert s.shape == v.shape
+        assert s.std() < v.std()
+        # constant volume is invariant (kernel sums to 1 with edge replication)
+        c = np.full((8, 8, 8), 3.5, np.float32)
+        np.testing.assert_allclose(np.asarray(gaussian3(jnp.asarray(c))), c, rtol=1e-6)
+
+
+class TestAugment:
+    def test_identity_options_passthrough(self):
+        img, label = _phantom()
+        im = jnp.asarray(img[..., None])
+        out_img, out_label = visual_perception_augmentation(
+            im, jnp.asarray(label), jax.random.key(0), IDENTITY_OPTS, True
+        )
+        # geometry is identity; step 7 normalizes (max is already 1 here)
+        np.testing.assert_allclose(np.asarray(out_img)[..., 0], img, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out_label), label)
+
+    def test_default_options_run_and_valid(self):
+        img, label = _phantom()
+        out_img, out_label = visual_perception_augmentation(
+            jnp.asarray(img[..., None]),
+            jnp.asarray(label),
+            jax.random.key(3),
+            AugOptions(),
+            True,
+        )
+        out_img, out_label = np.asarray(out_img), np.asarray(out_label)
+        assert out_img.shape == img.shape + (1,)
+        assert out_label.shape == label.shape
+        assert np.isfinite(out_img).all()
+        assert out_img.min() >= 0.0 and out_img.max() <= 1.0 + 1e-6
+        # majority-sampled labels take only original values
+        assert set(np.unique(out_label)).issubset({0.0, 1.0, 2.0})
+
+    def test_deterministic_per_key(self):
+        img, label = _phantom()
+        args = (jnp.asarray(img[..., None]), jnp.asarray(label))
+        a = visual_perception_augmentation(*args, jax.random.key(7), AugOptions(), True)
+        b = visual_perception_augmentation(*args, jax.random.key(7), AugOptions(), True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        c = visual_perception_augmentation(*args, jax.random.key(8), AugOptions(), True)
+        assert np.abs(np.asarray(a[0]) - np.asarray(c[0])).max() > 1e-4
+
+    def test_zero_background_always(self):
+        img, label = _phantom()
+        opts = AugOptions(**{**IDENTITY_OPTS.to_dict(), "zero_background": 4})
+        out_img, out_label = visual_perception_augmentation(
+            jnp.asarray(img[..., None]), jnp.asarray(label), jax.random.key(0), opts, True
+        )
+        out_img, out_label = np.asarray(out_img), np.asarray(out_label)
+        np.testing.assert_array_equal(out_img[out_label == 0], 0.0)
+
+    def test_truncation_zeroes_slabs(self):
+        img, label = _phantom()
+        opts = AugOptions(**{**IDENTITY_OPTS.to_dict(), "truncation_z": 4})
+        # try a few keys; at least one should truncate a nonzero slab
+        hit = False
+        for seed in range(4):
+            out_img, out_label = visual_perception_augmentation(
+                jnp.asarray(img[..., None]), jnp.asarray(label),
+                jax.random.key(seed), opts, True,
+            )
+            ol = np.asarray(out_label)
+            if (ol.sum(axis=(1, 2)) == 0).any() and ol.sum() < label.sum():
+                hit = True
+                break
+        assert hit
+
+    def test_geometry_moves_label_coherently(self):
+        """Image and label must be warped by the same field."""
+        img, label = _phantom()
+        opts = AugOptions(
+            **{
+                **IDENTITY_OPTS.to_dict(),
+                "translocation_ratio": 0.1,
+                "rotation_x": 0.3,
+                "rotation_y": 0.3,
+                "rotation_z": 0.3,
+            }
+        )
+        out_img, out_label = visual_perception_augmentation(
+            jnp.asarray(img[..., None]), jnp.asarray(label), jax.random.key(5), opts, True
+        )
+        out_img, out_label = np.asarray(out_img)[..., 0], np.asarray(out_label)
+        assert np.abs(out_label - label).sum() > 0  # actually moved
+        # overlap of warped foreground with warped label stays high
+        inter = ((out_img > 0.05) & (out_label > 0)).sum()
+        assert inter / max((out_label > 0).sum(), 1) > 0.8
+
+    def test_is_label_false_linear_label(self):
+        img, label = _phantom()
+        opts = AugOptions(
+            **{**IDENTITY_OPTS.to_dict(), "rotation_z": 0.5, "zero_background": 4}
+        )
+        _, out_label = visual_perception_augmentation(
+            jnp.asarray(img[..., None]), jnp.asarray(label), jax.random.key(1), opts, False
+        )
+        # linear interpolation creates fractional label values at edges
+        ol = np.asarray(out_label)
+        frac = ol - np.round(ol)
+        assert np.abs(frac).max() > 1e-3
+
+    def test_multichannel(self):
+        img, label = _phantom()
+        two = np.stack([img, img * 0.5], axis=-1)
+        out_img, _ = visual_perception_augmentation(
+            jnp.asarray(two), jnp.asarray(label), jax.random.key(0), AugOptions(), True
+        )
+        assert np.asarray(out_img).shape == two.shape
+
+    def test_from_dict_roundtrip(self):
+        d = AugOptions().to_dict()
+        d["noise"] = 4
+        d["noise_mag"] = 0.3
+        o = AugOptions.from_dict(d)
+        assert o.noise == 4 and abs(o.noise_mag - 0.3) < 1e-9

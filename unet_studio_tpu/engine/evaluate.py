@@ -1,0 +1,341 @@
+"""Inference engine (reference: evaluate.cpp:181-517 + TIPL evalution_set).
+
+Pipeline per volume (3 stages, pipelined like the reference's 3 threads
+with <=6 volumes of lookahead, evaluate.cpp:192):
+
+  read  : NIfTI load -> LPS canonicalization (flip_swap recorded) ->
+          run_preproc(model.preproc) -> FOV resample onto the model grid
+          ("align_top" z-alignment, train.cpp:26-29) -> orientation ops
+  infer : jitted device graph: forward -> level-0 logits -> inverse-FOV
+          resample back to the native grid -> softmax postproc -> label /
+          label_prob / fg_prob  (all on device; one D2H copy at the end)
+  output: host morphology (single_component_label largest-component
+          reduction) and file output
+
+TPU mapping notes: the reference copies logits D2H and resamples/softmaxes
+on the host; we keep the whole postproc on device and transfer final
+results only.  Distinct input shapes compile distinct graphs (cached).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.nifti import NiftiImage, apply_flip_swap, canonicalize_lps, read_nifti, write_nifti
+from ..models.unet3d import UNet3d, forward
+from ..ops.morphology import apply_single_component, defragment_by_size_ratio, gaussian_smooth
+from ..ops.resample import (
+    apply_affine,
+    meshgrid_xyz,
+    model_grid_transform,
+    sample_linear,
+)
+
+# preproc operations vocabulary (evaluate.cpp:5-17)
+OPERATIONS = (
+    "none",
+    "gaussian_filter",
+    "smoothing_filter",
+    "normalize",
+    "upsampling",
+    "downsampling",
+    "flip_x",
+    "flip_y",
+    "flip_z",
+    "swap_xy",
+    "swap_yz",
+    "swap_xz",
+)
+
+
+@dataclass
+class EvalCase:
+    """The observable surface of TIPL's ``evalution_set``
+    (SURVEY.md §2.6)."""
+
+    path: str = ""
+    image_dim: tuple = ()  # (D,H,W) native canonical grid
+    image_vs: np.ndarray | None = None
+    untouched_affine: np.ndarray | None = None
+    untouched_vs: np.ndarray | None = None
+    flip_swap: list = field(default_factory=list)
+    model_io: list = field(default_factory=list)  # device inputs (D,H,W,C)
+    label: np.ndarray | None = None  # (D,H,W) argmax labels, native grid
+    label_prob: np.ndarray | None = None  # (C,D,H,W) probabilities
+    fg_prob: np.ndarray | None = None  # (D,H,W) foreground probability
+    mask: np.ndarray | None = None
+    is_label: bool = True
+    error_msg: str = ""
+
+
+def run_preproc_op(vol: np.ndarray, op: str) -> np.ndarray:
+    """One preproc operation on a (D,H,W) volume (OPERATIONS vocabulary)."""
+    if op in ("", "none"):
+        return vol
+    if op == "gaussian_filter":
+        return gaussian_smooth(vol)
+    if op == "smoothing_filter":
+        from scipy import ndimage
+
+        return ndimage.uniform_filter(vol.astype(np.float32), size=3, mode="nearest")
+    if op == "normalize":
+        mx = vol.max()
+        return vol / mx if mx > 0 else vol
+    if op == "upsampling":
+        return np.repeat(np.repeat(np.repeat(vol, 2, 0), 2, 1), 2, 2)
+    if op == "downsampling":
+        d, h, w = (s // 2 * 2 for s in vol.shape)
+        v = vol[:d, :h, :w].reshape(d // 2, 2, h // 2, 2, w // 2, 2)
+        return v.mean(axis=(1, 3, 5))
+    if op in ("flip_x", "flip_y", "flip_z", "swap_xy", "swap_yz", "swap_xz"):
+        return apply_flip_swap(vol, [op])
+    raise ValueError(f"unknown preproc operation {op!r}")
+
+
+class EvaluateEngine:
+    """Loads a model once; evaluates any number of volumes."""
+
+    def __init__(self, model: UNet3d, compute_dtype=jnp.bfloat16, lookahead: int = 6):
+        self.model = model
+        self.compute_dtype = compute_dtype
+        self.lookahead = lookahead
+        self.error_msg = ""
+        self._infer_cache: dict = {}
+
+    # -- stage 1: read + preprocess -----------------------------------------
+
+    def preprocess(self, path: str) -> EvalCase:
+        case = EvalCase(path=str(path))
+        img = read_nifti(path)
+        case.untouched_affine = img.affine.copy()
+        case.untouched_vs = img.voxel_size.copy()
+        img = canonicalize_lps(img)
+        case.flip_swap = img.flip_swap
+
+        data = img.data.astype(np.float32)
+        vols = data[None] if data.ndim == 3 else data  # (T,D,H,W)
+
+        for op in filter(None, self.model.preproc.split("+")):
+            vols = np.stack([run_preproc_op(v, op) for v in vols])
+        for op in filter(None, self.model.orientation.split("+")):
+            vols = np.stack([run_preproc_op(v, op) for v in vols])
+
+        case.image_dim = vols.shape[1:]
+        case.image_vs = img.voxel_size
+
+        in_c = self.model.in_count
+        t = vols.shape[0]
+        if t % in_c != 0:
+            case.error_msg = (
+                f"{path}: {t} volumes not divisible by model in_count {in_c}"
+            )
+            return case
+        # chunk: each group of in_c volumes is one model input
+        for g in range(t // in_c):
+            chunk = np.moveaxis(vols[g * in_c : (g + 1) * in_c], 0, -1)  # (D,H,W,C)
+            mx = chunk.reshape(-1, in_c).max(axis=0)
+            mx[mx <= 0] = 1.0
+            case.model_io.append(chunk / mx)  # tipl::normalize per channel
+        return case
+
+    # -- stage 2: device inference -------------------------------------------
+
+    def _infer_fn(self, image_dhw: tuple, image_vs):
+        """Build (and cache) the jitted end-to-end device graph for one
+        native grid shape + voxel size."""
+        key = (image_dhw, tuple(np.round(np.asarray(image_vs, np.float64), 5)))
+        if key in self._infer_cache:
+            return self._infer_cache[key]
+
+        model_xyz = self.model.dim
+        model_dhw = self.model.dim_dhw
+        image_xyz = (image_dhw[2], image_dhw[1], image_dhw[0])
+        # model voxel -> image voxel transform; invert for fov_post
+        m = model_grid_transform(
+            image_xyz,
+            image_vs,
+            model_xyz,
+            self.model.voxel_size,
+            self.model.fov_strategy,
+        ).astype(np.float64)
+        fwd34 = np.zeros((3, 4), np.float32)
+        fwd34[:, :3] = np.diag(m[:, :3].diagonal())
+        fwd34[:, 3] = m[:, 3]
+        inv34 = np.zeros((3, 4), np.float32)
+        inv34[0, 0] = 1.0 / m[0, 0]
+        inv34[1, 1] = 1.0 / m[1, 1]
+        inv34[2, 2] = 1.0 / m[2, 2]
+        inv34[:, 3] = -m[:, 3] / m[:, :3].diagonal()
+
+        spec, params = self.model.spec, self.model.params
+        state = self.model.state
+        cdt = self.compute_dtype
+        postproc = self.model.postproc
+
+        @jax.jit
+        def run(chunk):  # chunk: (D,H,W,C) native grid
+            # fov_pre: sample native volume on the model grid
+            coords = apply_affine(meshgrid_xyz(model_dhw), jnp.asarray(fwd34))
+            model_in = sample_linear(chunk, coords)  # (Dm,Hm,Wm,C)
+            outs, _ = forward(
+                spec, params, model_in[None], train=False, state=state,
+                compute_dtype=cdt,
+            )
+            logits = outs[0][0]  # (Dm,Hm,Wm,out_c) float32
+            # fov_post: back to the native grid
+            back = apply_affine(meshgrid_xyz(image_dhw), jnp.asarray(inv34))
+            native_logits = sample_linear(logits, back)  # (D,H,W,out_c)
+            if "softmax" in postproc:
+                prob = jax.nn.softmax(native_logits, axis=-1)
+            else:
+                prob = native_logits
+            fg = 1.0 - prob[..., 0]
+            if "argmax" in postproc:
+                label = jnp.where(
+                    fg > 0.5, jnp.argmax(prob, axis=-1).astype(jnp.int32), 0
+                )
+            else:
+                label = jnp.zeros(image_dhw, jnp.int32)
+            return label, prob, fg
+
+        self._infer_cache[key] = run
+        return run
+
+    def infer(self, case: EvalCase) -> EvalCase:
+        if case.error_msg or not case.model_io:
+            return case
+        run = self._infer_fn(tuple(case.image_dim), case.image_vs)
+        labels, probs, fgs = [], [], []
+        for chunk in case.model_io:
+            label, prob, fg = run(jnp.asarray(chunk))
+            labels.append(label)
+            probs.append(prob)
+            fgs.append(fg)
+        case.label = np.asarray(labels[0] if len(labels) == 1 else jnp.concatenate(labels, 0))
+        prob = probs[0] if len(probs) == 1 else jnp.concatenate(probs, 0)
+        case.label_prob = np.moveaxis(np.asarray(prob), -1, 0)  # (C,D,H,W)
+        case.fg_prob = np.asarray(fgs[0] if len(fgs) == 1 else jnp.concatenate(fgs, 0))
+        return case
+
+    # -- stage 3: host postproc ------------------------------------------------
+
+    def postprocess(self, case: EvalCase) -> EvalCase:
+        if case.error_msg or case.label is None:
+            return case
+        if "create_mask" in self.model.postproc:
+            case.mask = (case.fg_prob > 0.5).astype(np.uint8)
+        if self.model.single_component_label:
+            case.label = apply_single_component(
+                case.label, self.model.single_component_label
+            ).astype(np.int32)
+        return case
+
+    # -- interactive postproc actions (evaluate.cpp:303-383) -------------------
+
+    def proc_action(self, case: EvalCase, cmd: str, param1: float = 0.0, param2: float = 0.0):
+        prob = case.label_prob
+        if prob is None:
+            return
+        if cmd == "argmax":
+            case.label = np.where(
+                case.fg_prob > param1, np.argmax(prob, axis=0), 0
+            ).astype(np.int32)
+            case.is_label = True
+            return
+        if cmd == "upper_threshold":
+            case.label_prob = np.minimum(prob, param1)
+        elif cmd == "lower_threshold":
+            case.label_prob = np.maximum(prob, param1)
+        elif cmd == "minus":
+            case.label_prob = prob - param1
+        elif cmd == "defragment_each":
+            out = prob.copy()
+            for c in range(prob.shape[0]):
+                m = prob[c] > param1
+                keep = defragment_by_size_ratio(m)
+                out[c][m & ~keep] = 0
+            case.label_prob = out
+        elif cmd == "normalize_each":
+            out = prob.copy()
+            for c in range(prob.shape[0]):
+                mx = out[c].max()
+                if mx > 0:
+                    out[c] /= mx
+            case.label_prob = out
+        elif cmd == "gaussian_smoothing":
+            case.label_prob = np.stack([gaussian_smooth(p) for p in prob])
+        elif cmd == "binarize":
+            case.label_prob = (prob > param1).astype(np.float32)
+        elif cmd == "soft_max":
+            e = np.exp(prob - prob.max(axis=0, keepdims=True))
+            sm = e / e.sum(axis=0, keepdims=True)
+            case.label_prob = np.where(sm > param1, sm, 0.0).astype(np.float32)
+        else:
+            raise ValueError(f"unknown command {cmd}")
+        case.is_label = False
+
+    # -- file output (evaluate.cpp:424-458) -------------------------------------
+
+    def save_case(self, case: EvalCase, out_path: str, output_type: int = 0) -> bool:
+        def undo(data):
+            return apply_flip_swap(data, case.flip_swap, reverse=True)
+
+        vs = case.untouched_vs
+        aff = case.untouched_affine
+        if output_type == 0:
+            write_nifti(out_path, undo(case.label.astype(np.int16)), vs, aff)
+        elif output_type == 1:
+            orig = read_nifti(case.path).data.astype(np.float32)
+            fg = undo(case.fg_prob)
+            if orig.ndim == 4:
+                fg = fg[None]
+            write_nifti(out_path, orig * fg, vs, aff)
+        elif output_type == 2:
+            write_nifti(out_path, undo(case.fg_prob.astype(np.float32)), vs, aff)
+        elif output_type == 3:
+            write_nifti(out_path, np.stack([undo(p) for p in case.label_prob]), vs, aff)
+        else:
+            return False
+        return True
+
+    # -- pipelined driver --------------------------------------------------------
+
+    def run(self, paths: list[str]):
+        """Yield processed EvalCases in order, with a reader thread
+        prefetching up to ``lookahead`` volumes ahead (evaluate.cpp:192)."""
+        q: queue.Queue = queue.Queue(maxsize=self.lookahead)
+
+        def reader():
+            for p in paths:
+                try:
+                    q.put(self.preprocess(p))
+                except Exception as e:  # noqa: BLE001
+                    c = EvalCase(path=str(p))
+                    c.error_msg = f"{p}: {e}"
+                    q.put(c)
+            q.put(None)
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        while True:
+            case = q.get()
+            if case is None:
+                break
+            if not case.error_msg:
+                try:
+                    self.infer(case)
+                    self.postprocess(case)
+                except Exception as e:  # noqa: BLE001
+                    case.error_msg = f"{case.path}: {e}"
+            if case.error_msg and not self.error_msg:
+                self.error_msg = case.error_msg
+            yield case
+        t.join()

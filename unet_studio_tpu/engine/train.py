@@ -1,0 +1,406 @@
+"""Training engine (reference: train_unet, train.hpp:64-113, train.cpp:259-1010).
+
+TPU-first redesign: the reference's 4-stage threaded pipeline (reader ->
+augmentation workers -> per-GPU trainer threads -> validator) collapses
+into ONE jitted SPMD train step over a device mesh:
+
+    per epoch:  step(params, opt_state, batch, keys, lr)
+       inside:  [on device, per item, via lax.scan]  contrast simulation
+                -> visual-perception augmentation -> forward ->
+                deep-supervision loss -> grad accumulation
+                then psum over the ``data`` mesh axis, /batch, clip 12,
+                SGD-nesterov step  (train.cpp:604-766 semantics)
+
+Host code only resolves file names, keeps the (tiny) template cache
+device-resident, and logs.  Work-stealing, slot flags, replica weight
+broadcasts and gradient merges all disappear — XLA's collectives over ICI
+replace them (SURVEY.md §2.10).
+
+Determinism/resume contract: sample ``seed_id = epoch*batch_size + slot``;
+the augmentation key is ``fold_in(key(seed), seed_id)`` and the data-pick
+RNG is ``np.random.default_rng(seed)`` advanced per seed_id — restarting
+from a checkpoint replays the identical sample stream (train.cpp:394-399,
+1005).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.bids import TrainingDataset, load_pair_on_model_grid, shift_subject_label
+from ..models.serialize import save_model
+from ..models.unet3d import UNet3d, forward
+from ..ops.augment import AugOptions, visual_perception_augmentation
+from ..ops.losses import calc_losses, deep_supervision_loss
+from ..ops.simulate import simulate_modality_subject, simulate_modality_template
+from ..parallel.mesh import make_mesh
+from .optimizer import SGDConfig, init_opt_state, poly_lr, sgd_step
+
+
+@dataclass
+class TrainParam:
+    """Mirrors training_param (train.hpp:8-30)."""
+
+    image_file_name: list[str] = field(default_factory=list)
+    label_file_name: list[str] = field(default_factory=list)
+    batch_size: int = 32
+    epoch: int = 10000
+    learning_rate: float = 1e-3
+    seed: int = 0
+    is_label: bool = True
+    cost_ce: bool = True
+    cost_dice: bool = True
+    cost_mse: bool = True
+    options: AugOptions = field(default_factory=AugOptions)
+    compute_dtype: str = "bfloat16"  # bf16 compute, fp32 master weights
+    remat: bool = True
+
+
+def _split_keys(base_key, seed_ids: np.ndarray):
+    return jnp.stack([jax.random.fold_in(base_key, int(s)) for s in seed_ids])
+
+
+class TrainEngine:
+    """start()/run_epoch()/stop() lifecycle around the jitted SPMD step."""
+
+    def __init__(
+        self,
+        model: UNet3d,
+        param: TrainParam,
+        mesh: Mesh | None = None,
+        model_path: str = "",
+        save_model_during_training: bool = True,
+    ):
+        self.model = model
+        self.param = param
+        self.mesh = mesh or make_mesh(n_data=1)
+        self.model_path = model_path
+        self.save_model_during_training = save_model_during_training
+        self.aborted = False
+        self.error_msg = ""
+        self.reading_status = self.training_status = self.validation_status = "idle"
+        self.cur_epoch = 0
+        self.dataset: TrainingDataset | None = None
+        self._cache: dict[int, tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self._test_data: list[tuple[jnp.ndarray, jnp.ndarray]] = []
+        self.opt_state = None
+        self._step_fn = None
+        self._valid_fn = None
+        self._params = None
+
+    # ------------------------------------------------------------------ setup
+
+    def start(self) -> None:
+        if not self.param.image_file_name:
+            self.error_msg = "please specify the training data"
+            self.aborted = True
+            return
+        self.reading_status = "scanning labels"
+        self.dataset = TrainingDataset.scan(
+            self.param.image_file_name,
+            self.param.label_file_name,
+            self.model.out_count,
+        )
+        self._params = {k: jnp.asarray(v) for k, v in self.model.params.items()}
+        self.opt_state = init_opt_state(self._params)
+        self._maybe_load_optimizer()
+        # resume epoch derived from the error history (train.cpp:1005)
+        self.cur_epoch = (len(self.model.testing_errors) // 3) % self.param.epoch
+        self._load_test_volumes()
+        self._build_step()
+        self.training_status = "training"
+
+    def _maybe_load_optimizer(self) -> None:
+        opt_path = self.model_path + ".opt" if self.model_path else ""
+        if opt_path and os.path.exists(opt_path):
+            data = np.load(opt_path)
+            self.opt_state = {
+                "momentum": {
+                    k[len("momentum/") :]: jnp.asarray(v)
+                    for k, v in data.items()
+                    if k.startswith("momentum/")
+                },
+                "step": jnp.asarray(data["step"]),
+            }
+
+    def _save_optimizer(self) -> None:
+        if not self.model_path:
+            return
+        arrs = {
+            f"momentum/{k}": np.asarray(v)
+            for k, v in self.opt_state["momentum"].items()
+        }
+        arrs["step"] = np.asarray(self.opt_state["step"])
+        np.savez(self.model_path + ".opt", **arrs)
+        os.replace(self.model_path + ".opt.npz", self.model_path + ".opt")
+
+    def _load_test_volumes(self) -> None:
+        self._test_data = []
+        for i in self.dataset.test_indices:
+            self.reading_status = f"reading {os.path.basename(self.dataset.images[i])}"
+            img, lab = self._load_item(i)
+            if self.model.out_count == 1:
+                mx = lab.max()
+                if mx > 0:
+                    lab = lab / mx
+            self._test_data.append((jnp.asarray(img)[None], jnp.asarray(lab)[None]))
+
+    def _load_item(self, read_id: int) -> tuple[np.ndarray, np.ndarray]:
+        """Load + resample one pair; templates cached (train.cpp:404-432)."""
+        if read_id in self._cache:
+            return self._cache[read_id]
+        img, lab = load_pair_on_model_grid(
+            self.dataset.images[read_id],
+            self.dataset.labels[read_id],
+            self.model.dim,
+            self.model.voxel_size,
+        )
+        if not self.param.is_label:
+            mx = lab.max()
+            if mx > 0:
+                lab = lab / mx
+        if self.dataset.need_shift[read_id]:
+            lab = shift_subject_label(img, lab, self.dataset.max_template_label)
+        pair = (img, lab)
+        if self.dataset.is_template[read_id]:
+            self._cache[read_id] = pair
+        return pair
+
+    # ------------------------------------------------------------- train step
+
+    def _build_step(self) -> None:
+        spec = self.model.spec
+        n_classes = self.model.out_count
+        collapse_k = int(self.dataset.max_template_label + 1)
+        has_subjects = self.dataset.has_subject_data
+        any_shift = any(self.dataset.need_shift)
+        options = self.param.options
+        is_label = self.param.is_label
+        cost = (self.param.cost_ce, self.param.cost_dice, self.param.cost_mse)
+        cdt = jnp.bfloat16 if self.param.compute_dtype == "bfloat16" else jnp.float32
+        remat = self.param.remat
+        batch_size = self.param.batch_size
+        sgd_cfg = SGDConfig()
+        mesh = self.mesh
+
+        def item_loss(params, img, lab, is_template, need_shift, key):
+            """img (D,H,W,1) float, lab (D,H,W) float."""
+            k_sim, k_aug = jax.random.split(key)
+            t1w = img[..., 0]
+            if is_label:
+                sim_t = simulate_modality_template(t1w, lab, n_classes, k_sim)
+                if has_subjects:
+                    sim_s = simulate_modality_subject(t1w, k_sim)
+                    t1w = jnp.where(is_template, sim_t, sim_s)
+                else:
+                    t1w = sim_t
+            else:
+                t1w = simulate_modality_subject(t1w, k_sim)
+            aug_img, aug_lab = visual_perception_augmentation(
+                t1w[..., None], lab, k_aug, options, is_label
+            )
+            outs, _ = forward(
+                spec, params, aug_img[None], train=True, compute_dtype=cdt,
+                remat=remat,
+            )
+            target = aug_lab[None].astype(jnp.int32)
+            loss_plain, lvl0_plain = deep_supervision_loss(
+                outs, target, n_classes, 0, *cost
+            )
+            if any_shift:
+                loss_col, lvl0_col = deep_supervision_loss(
+                    outs, target, n_classes, collapse_k, *cost
+                )
+                loss = jnp.where(need_shift, loss_col, loss_plain)
+                lvl0 = tuple(
+                    jnp.where(need_shift, a, b) for a, b in zip(lvl0_col, lvl0_plain)
+                )
+            else:
+                loss, lvl0 = loss_plain, lvl0_plain
+            return loss, jnp.stack(lvl0)
+
+        grad_fn = jax.grad(item_loss, has_aux=True)
+
+        def device_step(params, opt_state, images, labels, is_template, need_shift, keys, lr):
+            """Runs per device shard: scan over local items accumulating
+            grads, then psum over the data axis (the reference's
+            add_gradient_from + div + clip + step, train.cpp:756-766)."""
+            zero_grads = jax.tree.map(lambda p: jnp.zeros_like(p), params)
+            zero_metrics = jnp.zeros(4)  # ce,dice,mse sum + count
+
+            def body(carry, item):
+                grads_acc, metrics = carry
+                img, lab, tmpl, shift, key = item
+                g, lvl0 = grad_fn(params, img, lab, tmpl, shift, key)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                # training errors: recorded for all items when no subject
+                # data, else only for subject items (train.cpp:676-682)
+                record = jnp.where(
+                    jnp.asarray(has_subjects), ~tmpl, jnp.asarray(True)
+                ).astype(jnp.float32)
+                metrics = metrics + jnp.concatenate([lvl0 * record, record[None]])
+                return (grads_acc, metrics), None
+
+            (grads, metrics), _ = jax.lax.scan(
+                body, (zero_grads, zero_metrics),
+                (images, labels, is_template, need_shift, keys),
+            )
+            grads = jax.lax.psum(grads, "data")
+            metrics = jax.lax.psum(metrics, "data")
+            grads = jax.tree.map(lambda g: g / batch_size, grads)
+            new_params, new_opt = sgd_step(params, grads, opt_state, lr, sgd_cfg)
+            return new_params, new_opt, metrics
+
+        from jax.experimental.shard_map import shard_map
+
+        sharded = shard_map(
+            device_step,
+            mesh=mesh,
+            in_specs=(
+                P(), P(), P("data"), P("data"), P("data"), P("data"), P("data"), P(),
+            ),
+            out_specs=(P(), P(), P()),
+            check_rep=False,
+        )
+        self._step_fn = jax.jit(sharded, donate_argnums=(0, 1))
+
+        def valid_fn(params, img, lab):
+            outs, _ = forward(
+                spec, params, img, train=False, compute_dtype=cdt,
+            )
+            ce, dice, mse = calc_losses(outs[0], lab.astype(jnp.int32), n_classes)
+            return jnp.stack([ce, dice, mse])
+
+        self._valid_fn = jax.jit(valid_fn)
+
+    # ------------------------------------------------------------- epoch loop
+
+    def _assemble_batch(self, epoch: int):
+        """Replay the sample stream up to this epoch (train.cpp:391-399)."""
+        ds = self.dataset
+        rng = np.random.default_rng(self.param.seed)
+        b = self.param.batch_size
+        # advance the index stream deterministically to this epoch
+        ids = []
+        for seed_id in range(epoch * b + b):
+            idx = ds.sample_index(rng, seed_id % b, b)
+            if seed_id >= epoch * b:
+                ids.append((seed_id, idx))
+        images, labels, tmpl, shift, keys = [], [], [], [], []
+        base_key = jax.random.key(self.param.seed)
+        for seed_id, read_id in ids:
+            self.reading_status = f"reading {os.path.basename(ds.images[read_id])}"
+            img, lab = self._load_item(read_id)
+            images.append(img[..., None])
+            labels.append(lab)
+            tmpl.append(ds.is_template[read_id])
+            shift.append(ds.need_shift[read_id])
+            keys.append(jax.random.fold_in(base_key, seed_id))
+        sh = NamedSharding(self.mesh, P("data"))
+        return (
+            jax.device_put(np.stack(images), sh),
+            jax.device_put(np.stack(labels), sh),
+            jax.device_put(np.asarray(tmpl), sh),
+            jax.device_put(np.asarray(shift), sh),
+            jax.device_put(jnp.stack(keys), sh),
+        )
+
+    def run_epoch(self) -> dict:
+        e = self.cur_epoch
+        lr = float(poly_lr(self.param.learning_rate, e, self.param.epoch))
+        images, labels, tmpl, shift, keys = self._assemble_batch(e)
+        self.training_status = "training"
+        self._params, self.opt_state, metrics = self._step_fn(
+            self._params, self.opt_state, images, labels, tmpl, shift, keys, lr
+        )
+        metrics = np.asarray(metrics)
+        if metrics[3] > 0:
+            errs = (metrics[:3] / metrics[3]).tolist()
+            self.model.training_errors.extend(round(float(v), 6) for v in errs)
+        # validation on the 2 held-out templates (train.cpp:826-896)
+        self.validation_status = "validating"
+        if self._test_data:
+            vals = np.zeros(3)
+            for img, lab in self._test_data:
+                vals += np.asarray(self._valid_fn(self._params, img, lab))
+            vals /= len(self._test_data)
+            self.model.testing_errors.extend(round(float(v), 6) for v in vals)
+        self.cur_epoch += 1
+        # autosave every 100 epochs (train.cpp:780-788)
+        if (
+            self.save_model_during_training
+            and self.model_path
+            and self.cur_epoch % 100 == 0
+        ):
+            self.training_status = "saving model"
+            self.sync_params_to_model()
+            save_model(self.model_path, self.model)
+            self._save_optimizer()
+        return {
+            "epoch": e,
+            "lr": lr,
+            "train": self.model.training_errors[-3:],
+            "test": self.model.testing_errors[-3:],
+        }
+
+    def sync_params_to_model(self) -> None:
+        self.model.params = {k: v for k, v in self._params.items()}
+
+    def run(self, log_every: int = 1, chart: bool = True) -> None:
+        """Blocking loop to param.epoch (the headless path,
+        train.cpp:913-919)."""
+        start = time.time()
+        start_epoch = self.cur_epoch
+        if chart:
+            print("1" + " " * 50 + "0.1" + " " * 47 + "0.01")
+        while self.cur_epoch < self.param.epoch and not self.aborted:
+            info = self.run_epoch()
+            if chart:
+                self._print_chart_row(info, start, start_epoch)
+
+    def _print_chart_row(self, info, start_time, start_epoch) -> None:
+        """log-scale ASCII error chart (train.cpp:853-888)."""
+        e = info["epoch"]
+        if e % 100 == 0:
+            out = list(
+                "|-------------------------|--------------------------|"
+                "-------------------------|-------------------------|"
+            )
+            s = f"lr:{info['lr']:.6f}"
+            done = self.cur_epoch - start_epoch
+            if done > 0:
+                elapsed = time.time() - start_time
+                rem = elapsed * (self.param.epoch - self.cur_epoch) / done
+                s += f",{int(rem//3600)}h{int(rem%3600//60)}m"
+            out[1 : 1 + len(s)] = s
+            print("".join(out))
+        out = list(
+            "|                         |                          |"
+            "                         |                         |"
+        )
+
+        def put(val, ch):
+            if val <= 0:
+                return
+            pos = int((-np.log10(max(val, 1e-10))) * (len(out) - 1) / 2.0)
+            out[int(np.clip(pos, 0, len(out) - 1))] = ch
+
+        for v, ch in zip(info["train"], "cdm"):
+            put(v, ch)
+        for v, ch in zip(info["test"], "CDM"):
+            put(v, ch)
+        print("".join(out) + f" {e}")
+
+    def stop(self) -> None:
+        self.aborted = True
+
+    def get_status(self) -> str:
+        return f"{self.reading_status}|{self.training_status}|{self.validation_status}"

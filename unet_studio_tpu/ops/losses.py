@@ -1,0 +1,115 @@
+"""Segmentation losses (reference: calc_losses, train.cpp:501-552).
+
+Given logits (N, D, H, W, C) and integer targets (N, D, H, W):
+
+* optional class collapse: the first ``collapse_before`` channels are
+  merged via logsumexp into one foreground class (used when subject
+  labels were shifted past the template classes, train.cpp:673-674)
+* validity mask: voxels with target >= C are ignored
+* masked cross-entropy
+* "MSE": sum_c p_c^2 - 2 p_target + 1 per voxel, masked mean
+* soft Dice over classes 1..C-1 (eps 1e-5), reported as 1 - mean dice
+
+All three are returned; the training loss sums whichever of ce/dice/mse
+are enabled, weighted per deep-supervision level by (1/2^k)/sum
+(train.cpp:637-700).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def calc_losses(
+    logits: jnp.ndarray,
+    target: jnp.ndarray,
+    n_classes: int,
+    collapse_before: int = 0,
+):
+    """Returns (ce, dice, mse) scalars, float32.
+
+    logits: (N, D, H, W, C) float; target: (N, D, H, W) int.
+    """
+    if collapse_before < 0 or collapse_before >= n_classes:
+        raise ValueError("invalid collapse_before")
+
+    logits = logits.astype(jnp.float32)
+    target = target.astype(jnp.int32)
+    raw_target = target
+
+    if collapse_before:
+        merged = jax.nn.logsumexp(logits[..., :collapse_before], axis=-1, keepdims=True)
+        logits = jnp.concatenate([merged, logits[..., collapse_before:]], axis=-1)
+        target = jnp.maximum(target - collapse_before + 1, 0)
+
+    out_c = logits.shape[-1]
+    valid = (raw_target < n_classes).astype(jnp.float32)
+    n = jnp.maximum(valid.sum(), 1.0)
+    target = jnp.where(raw_target < n_classes, target, 0)
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce_map = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    ce = (ce_map * valid).sum() / n
+
+    prob = jnp.clip(jnp.exp(logp), 1e-6, 1.0 - 1e-6)
+    target_prob = jnp.take_along_axis(prob, target[..., None], axis=-1)[..., 0]
+    mse = (((prob * prob).sum(-1) - 2.0 * target_prob + 1.0) * valid).sum() / n
+
+    # soft dice over classes 1..out_c-1, per sample then averaged
+    eps = 1e-5
+    batch = logits.shape[0]
+    onehot = jax.nn.one_hot(target, out_c, dtype=jnp.float32)  # (N,D,H,W,C)
+    p = prob * valid[..., None]
+    m = onehot * valid[..., None]
+    inter = jnp.sum(p * m, axis=(1, 2, 3))  # (N, C)
+    card = jnp.sum(p + m, axis=(1, 2, 3))
+    dice_per = (2.0 * inter[:, 1:] + eps) / (card[:, 1:] + eps)  # (N, C-1)
+    dice_sum = dice_per.sum()
+    dice = 1.0 - dice_sum / float(batch * max(1, out_c - 1))
+    return ce, dice, mse
+
+
+def deep_supervision_loss(
+    outputs: list,
+    target: jnp.ndarray,
+    n_classes: int,
+    collapse_before: int = 0,
+    cost_ce: bool = True,
+    cost_dice: bool = True,
+    cost_mse: bool = True,
+):
+    """Weighted multi-scale loss (train.cpp:637-700).
+
+    ``outputs``: per-level logits (level 0 full-res); targets for level k>0
+    are nearest-downsampled by 2 each level (floor semantics of torch
+    ``interpolate(mode=nearest)``: index map ``i -> 2*i``).
+
+    Returns (total_loss, (ce0, dice0, mse0)) — the level-0 metrics are what
+    the reference records as training errors (train.cpp:676-682).
+    """
+    n_levels = len(outputs)
+    weight_sum = sum(1.0 / (1 << k) for k in range(n_levels))
+    total = 0.0
+    level0 = None
+    cur_target = target
+    for k, logits in enumerate(outputs):
+        if k > 0:
+            # nearest downsample x2: torch interpolate(nearest) picks
+            # floor(i * in/out) = 2*i -> stride-2 subsample from index 0
+            cur_target = cur_target[:, ::2, ::2, ::2]
+        ce, dice, mse = calc_losses(logits, cur_target, n_classes, collapse_before)
+        if k == 0:
+            level0 = (ce, dice, mse)
+        level_loss = 0.0
+        used = False
+        if cost_ce:
+            level_loss, used = level_loss + ce, True
+        if cost_dice:
+            level_loss, used = level_loss + dice, True
+        if cost_mse:
+            level_loss, used = level_loss + mse, True
+        if not used:
+            level_loss = ce
+        total = total + level_loss * ((1.0 / (1 << k)) / weight_sum)
+    return total, level0

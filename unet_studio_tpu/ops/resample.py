@@ -1,0 +1,247 @@
+"""Spatial resampling ops: trilinear and majority-vote warping, affine
+transforms, scaling — jittable, channels-last, TPU-first.
+
+These replace the TIPL device primitives the reference leans on
+(``tipl::compose_mapping<linear|majority>``, ``tipl::scale``,
+``tipl::resample``, visual_perception_augmentation.cu:322-523) and the
+input resampling in ``read_image_and_label`` (train.cpp:13-40).
+
+Coordinate convention: volumes are (D, H, W) = (z, y, x); coordinates are
+(x, y, z) voxel positions to match the reference's math (its
+transformation matrices act on (x,y,z)).  Sample positions outside the
+volume produce 0 (the reference's interpolator leaves the output at its
+zero initialization).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def meshgrid_xyz(shape_dhw) -> jnp.ndarray:
+    """(D,H,W,3) grid of (x,y,z) voxel coordinates, float32."""
+    d, h, w = shape_dhw
+    z = jax.lax.broadcasted_iota(jnp.float32, (d, h, w), 0)
+    y = jax.lax.broadcasted_iota(jnp.float32, (d, h, w), 1)
+    x = jax.lax.broadcasted_iota(jnp.float32, (d, h, w), 2)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def _gather_dhw(vol: jnp.ndarray, zi, yi, xi):
+    """vol: (D,H,W) or (D,H,W,C); indices same shape (clipped)."""
+    d, h, w = vol.shape[:3]
+    zi = jnp.clip(zi, 0, d - 1)
+    yi = jnp.clip(yi, 0, h - 1)
+    xi = jnp.clip(xi, 0, w - 1)
+    flat = (zi * h + yi) * w + xi
+    v = vol.reshape((d * h * w,) + vol.shape[3:])
+    return v[flat]
+
+
+def sample_linear(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sampling.  vol: (D,H,W[,C]); coords: (...,3) as (x,y,z).
+
+    Out-of-range coordinates yield 0 (matching
+    ``tipl::interpolator::linear::get_location`` returning false,
+    visual_perception_augmentation.cpp:323-335).
+    """
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    d, h, w = vol.shape[:3]
+    valid = (
+        (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1) & (z >= 0) & (z <= d - 1)
+    )
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    fx, fy, fz = x - x0, y - y0, z - z0
+
+    out = 0.0
+    for dz in (0, 1):
+        wz = (1 - fz) if dz == 0 else fz
+        for dy in (0, 1):
+            wy = (1 - fy) if dy == 0 else fy
+            for dx in (0, 1):
+                wx = (1 - fx) if dx == 0 else fx
+                wgt = (wz * wy * wx).astype(vol.dtype)
+                val = _gather_dhw(vol, z0 + dz, y0 + dy, x0 + dx)
+                if vol.ndim == 4:
+                    wgt = wgt[..., None]
+                out = out + wgt * val
+    mask = valid.astype(vol.dtype)
+    if vol.ndim == 4:
+        mask = mask[..., None]
+    return out * mask
+
+
+def sample_majority(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Majority-vote label sampling (TIPL ``tipl::estimate<tipl::majority>``).
+
+    For each sample position, the 8 surrounding voxel labels vote with
+    their trilinear weights; the label with the largest weight sum wins.
+    Implemented class-count-free: each of the 8 corner labels is a
+    candidate; its score is the summed weight of corners sharing its label
+    (64 comparisons, fully vectorized on the VPU).
+    """
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    d, h, w = vol.shape[:3]
+    valid = (
+        (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1) & (z >= 0) & (z <= d - 1)
+    )
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    fx, fy, fz = x - x0, y - y0, z - z0
+
+    labels, weights = [], []
+    for dz in (0, 1):
+        wz = (1 - fz) if dz == 0 else fz
+        for dy in (0, 1):
+            wy = (1 - fy) if dy == 0 else fy
+            for dx in (0, 1):
+                wx = (1 - fx) if dx == 0 else fx
+                labels.append(_gather_dhw(vol, z0 + dz, y0 + dy, x0 + dx))
+                weights.append(wz * wy * wx)
+    labels = jnp.stack(labels, axis=-1)  # (..., 8)
+    weights = jnp.stack(weights, axis=-1).astype(jnp.float32)
+    # score[c] = sum of weights where label == labels[c]
+    same = labels[..., :, None] == labels[..., None, :]  # (..., 8, 8)
+    scores = jnp.sum(same * weights[..., None, :], axis=-1)  # (..., 8)
+    winner = jnp.argmax(scores, axis=-1)
+    out = jnp.take_along_axis(labels, winner[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, out, jnp.zeros_like(out))
+
+
+# ---------------------------------------------------------------------------
+# affine transforms (reference: tipl::affine_param / transformation_matrix)
+# ---------------------------------------------------------------------------
+
+
+def affine_matrix(
+    translation=(0.0, 0.0, 0.0),
+    rotation=(0.0, 0.0, 0.0),
+    scaling=(1.0, 1.0, 1.0),
+    shape_dhw=(1, 1, 1),
+    dtype=jnp.float32,
+):
+    """Build the 3x4 voxel->voxel transform TIPL builds from an
+    ``affine_param`` (rotation about the volume center, then scaling, then
+    translation).  Used by augmentation (visual_perception_augmentation.cpp
+    :284-296) where src and dst grids are the same shape at unit spacing.
+
+    Output maps destination (x,y,z) to source (x,y,z):
+        src = R @ ((dst - center) * ? ) ...
+
+    TIPL's convention (reg/linear): the transform computes, for a template
+    (dst) coordinate p:  q = S * R * (p - c) + c + t, where c is the
+    volume center, R = Rx(rx) Ry(ry) Rz(rz) rotation, S per-axis scaling
+    (values > 1 shrink the rendered object = zoom out), t translation.
+    """
+    tx, ty, tz = translation
+    rx, ry, rz = rotation
+    sx, sy, sz = scaling
+    cx = (shape_dhw[2] - 1) * 0.5
+    cy = (shape_dhw[1] - 1) * 0.5
+    cz = (shape_dhw[0] - 1) * 0.5
+
+    def rot_x(a):
+        c, s = jnp.cos(a), jnp.sin(a)
+        return jnp.array([[1, 0, 0], [0, c, -s], [0, s, c]], dtype)
+
+    def rot_y(a):
+        c, s = jnp.cos(a), jnp.sin(a)
+        return jnp.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], dtype)
+
+    def rot_z(a):
+        c, s = jnp.cos(a), jnp.sin(a)
+        return jnp.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], dtype)
+
+    R = rot_x(jnp.asarray(rx, dtype)) @ rot_y(jnp.asarray(ry, dtype)) @ rot_z(
+        jnp.asarray(rz, dtype)
+    )
+    S = jnp.diag(jnp.asarray([sx, sy, sz], dtype))
+    A = S @ R
+    center = jnp.asarray([cx, cy, cz], dtype)
+    t = jnp.asarray([tx, ty, tz], dtype)
+    offset = center + t - A @ center
+    return jnp.concatenate([A, offset[:, None]], axis=1)  # (3, 4)
+
+
+def apply_affine(coords: jnp.ndarray, mat34: jnp.ndarray) -> jnp.ndarray:
+    """coords (...,3) @ 3x4 affine -> (...,3)."""
+    return coords @ mat34[:, :3].T + mat34[:, 3]
+
+
+def resample_affine(vol, mat34, out_shape_dhw, method="linear"):
+    coords = apply_affine(meshgrid_xyz(out_shape_dhw), mat34)
+    if method == "linear":
+        return sample_linear(vol, coords)
+    return sample_majority(vol, coords)
+
+
+def scale_to_shape(vol: jnp.ndarray, out_shape_dhw, method="linear"):
+    """TIPL ``tipl::scale``: stretch the whole FOV to a new grid
+    (corner-anchored: dst index i maps to src i * (in-1)/(out-1))."""
+    d, h, w = vol.shape[:3]
+    od, oh, ow = out_shape_dhw
+    sx = (w - 1) / max(ow - 1, 1)
+    sy = (h - 1) / max(oh - 1, 1)
+    sz = (d - 1) / max(od - 1, 1)
+    grid = meshgrid_xyz(out_shape_dhw) * jnp.asarray([sx, sy, sz], jnp.float32)
+    if method == "linear":
+        return sample_linear(vol, grid)
+    return sample_majority(vol, grid)
+
+
+def model_grid_transform(
+    image_shape_xyz,
+    image_vs,
+    model_shape_xyz,
+    model_vs,
+    fov_strategy: str = "align_top",
+) -> np.ndarray:
+    """Voxel transform from model grid to image grid (host-side, numpy).
+
+    Reproduces read_image_and_label (train.cpp:26-29): scaling by voxel
+    size ratio about the FOV, plus the "align_top" z translation
+    ``0.5*((Di-1)*vi - (Dm-1)*vm)`` that aligns the top of the head.
+
+    TIPL ``transformation_matrix(arg, model_dim, model_vs, image_dim,
+    image_vs)`` maps model voxel p_m -> image voxel p_i:
+        p_i = (p_m * vs_m + shift + t) / vs_i
+    where shift centers the two FOVs in x/y and t is the affine_param
+    translation (only t_z used, computed in mm).
+    """
+    image_vs = np.asarray(image_vs, np.float64)
+    model_vs = np.asarray(model_vs, np.float64)
+    img = np.asarray(image_shape_xyz, np.float64)
+    mdl = np.asarray(model_shape_xyz, np.float64)
+
+    # center-align x/y, top-align z, all in mm
+    t = 0.5 * ((img - 1.0) * image_vs - (mdl - 1.0) * model_vs)
+    scale = model_vs / image_vs
+    mat = np.zeros((3, 4), np.float32)
+    mat[0, 0], mat[1, 1], mat[2, 2] = scale
+    mat[:, 3] = t / image_vs
+    return mat
+
+
+def resample_to_model_grid(
+    vol: jnp.ndarray,
+    image_vs,
+    model_shape_xyz,
+    model_vs,
+    method="linear",
+):
+    """Resample a (D,H,W) image volume onto the model grid (train.cpp:26-29)."""
+    img_xyz = (vol.shape[2], vol.shape[1], vol.shape[0])
+    mat = model_grid_transform(img_xyz, image_vs, model_shape_xyz, model_vs)
+    out_dhw = (model_shape_xyz[2], model_shape_xyz[1], model_shape_xyz[0])
+    return resample_affine(vol, jnp.asarray(mat), out_dhw, method=method)
+
+
+def normalize01(vol: jnp.ndarray) -> jnp.ndarray:
+    """tipl::normalize: scale max to 1 (max <= 0 leaves zeros)."""
+    mx = jnp.max(vol)
+    return jnp.where(mx > 0, vol / mx, vol)
