@@ -1,0 +1,70 @@
+"""Benchmark: skull-strip inference throughput on the flagship model grid.
+
+Runs on whatever accelerator jax sees (the driver provides one real TPU
+chip).  Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N|null}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is null;
+the driver's BENCH_r{N}.json history is the comparison across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from unet_studio_tpu.models.dsl import default_architecture
+    from unet_studio_tpu.models.unet3d import UNet3d, forward
+
+    # flagship: default 6-level U-Net, default 192x224x192 grid, 4 classes
+    model = UNet3d.create(1, 4, default_architecture(4), seed=0)
+    spec = model.spec
+    params = {k: jnp.asarray(v) for k, v in model.params.items()}
+
+    @jax.jit
+    def infer(params, x):
+        outs, _ = forward(spec, params, x, train=False, compute_dtype=jnp.bfloat16)
+        prob = jax.nn.softmax(jnp.asarray(outs[0], jnp.float32), axis=-1)
+        fg = 1.0 - prob[..., 0]
+        label = jnp.where(fg > 0.5, jnp.argmax(prob, axis=-1).astype(jnp.int32), 0)
+        return label, fg
+
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 192, 224, 192, 1), np.float32),
+        jnp.bfloat16,
+    )
+    # warmup/compile
+    label, fg = infer(params, x)
+    label.block_until_ready()
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        label, fg = infer(params, x)
+    label.block_until_ready()
+    dt = time.perf_counter() - t0
+    vps = n_iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "t1w_volumes_per_sec_skullstrip_infer_192x224x192",
+                "value": round(vps, 4),
+                "unit": "volumes/sec",
+                "vs_baseline": None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

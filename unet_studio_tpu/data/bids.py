@@ -147,7 +147,7 @@ def load_pair_on_model_grid(
             f"label grid {ldata.shape} != image grid {data.shape} "
             f"({label_path} vs {image_path})"
         )
-    out_img = np.asarray(
+    out_img = np.array(
         resample_to_model_grid(jnp.asarray(data), img.voxel_size, model_dim_xyz, model_vs)
     )
     mx = out_img.max()

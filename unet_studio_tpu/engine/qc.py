@@ -1,0 +1,135 @@
+"""QC action: per-class wrong-voxel ratios over all training pairs
+(reference: qc.cpp:55-378) — the reference's built-in regression harness.
+
+For every (image, label) pair: forward pass, ``argmax != target`` masked to
+valid voxels, per-class voxel/wrong counts via bincount (collapse-aware for
+shifted subject labels), then a TSV report written atomically.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.bids import TrainingDataset, load_pair_on_model_grid, shift_subject_label
+from ..models.unet3d import UNet3d, forward
+
+
+@dataclass
+class QcStat:
+    voxels: int = 0
+    wrong: int = 0
+
+    def ratio(self) -> float:
+        return self.wrong / self.voxels if self.voxels else 0.0
+
+
+@dataclass
+class QcCase:
+    image: str
+    label: str
+    overall: QcStat = field(default_factory=QcStat)
+    stats: list[QcStat] = field(default_factory=list)
+    unavailable_before: int = 0
+    error: str = ""
+
+
+def _qc_fn(model: UNet3d, collapse_before: int, compute_dtype):
+    """Jitted per-case kernel: (img, lab) -> (2, C+1) voxel/wrong counts."""
+    spec = model.spec
+    raw_c = model.out_count
+
+    @jax.jit
+    def run(img, lab):
+        outs, _ = forward(
+            spec, model.params, img[None], train=False, state=model.state,
+            compute_dtype=compute_dtype,
+        )
+        logits = outs[0][0]  # (D,H,W,C)
+        target = lab.astype(jnp.int32)
+        valid = (target >= 0) & (target < raw_c)
+        c = raw_c
+        if collapse_before:
+            merged = jax.nn.logsumexp(
+                logits[..., :collapse_before], axis=-1, keepdims=True
+            )
+            logits = jnp.concatenate([merged, logits[..., collapse_before:]], axis=-1)
+            target = jnp.maximum(target - collapse_before + 1, 0)
+            c = raw_c - collapse_before + 1
+        safe_target = jnp.clip(target, 0, c - 1)
+        label_bin = jnp.where(valid, safe_target, c).reshape(-1)
+        wrong = (
+            (jnp.argmax(logits, axis=-1) != target) & valid
+        ).reshape(-1).astype(jnp.float32)
+        voxels = jnp.zeros(c + 1).at[label_bin].add(1.0)
+        wrongs = jnp.zeros(c + 1).at[label_bin].add(wrong)
+        return jnp.stack([voxels, wrongs])
+
+    return run, raw_c
+
+
+def run_qc(
+    model: UNet3d,
+    images: list[str],
+    labels: list[str],
+    report_path: str,
+    compute_dtype=jnp.bfloat16,
+) -> list[QcCase]:
+    if model.out_count < 2:
+        raise ValueError("QC requires a categorical model")
+    ds = TrainingDataset.scan(images, labels, model.out_count)
+    fns: dict[int, tuple] = {}
+    cases: list[QcCase] = []
+    for i in range(len(images)):
+        collapse = ds.max_template_label + 1 if ds.need_shift[i] else 0
+        case = QcCase(image=images[i], label=labels[i])
+        case.unavailable_before = collapse
+        try:
+            img, lab = load_pair_on_model_grid(
+                images[i], labels[i], model.dim, model.voxel_size
+            )
+            if ds.need_shift[i]:
+                lab = shift_subject_label(img, lab, ds.max_template_label)
+            if collapse not in fns:
+                fns[collapse] = _qc_fn(model, collapse, compute_dtype)
+            run, raw_c = fns[collapse]
+            packed = np.asarray(run(jnp.asarray(img[..., None]), jnp.asarray(lab)))
+            c = packed.shape[1] - 1
+            case.stats = [QcStat() for _ in range(raw_c)]
+            for ci in range(c):
+                stat = QcStat(int(packed[0, ci]), int(packed[1, ci]))
+                case.overall.voxels += stat.voxels
+                case.overall.wrong += stat.wrong
+                if not collapse:
+                    case.stats[ci] = stat
+                elif ci:
+                    case.stats[collapse + ci - 1] = stat
+        except Exception as e:  # noqa: BLE001
+            case.error = str(e)
+            raise
+        cases.append(case)
+
+    # atomic TSV write (qc.cpp:333-376)
+    tmp = report_path + ".tmp"
+    with open(tmp, "w") as out:
+        out.write("image\tground_truth\twrong_ratio")
+        for c in range(model.out_count):
+            out.write(f"\twrong_ratio{c}")
+        out.write("\n")
+        for case in cases:
+            out.write(
+                f"{os.path.basename(case.image)}\t{os.path.basename(case.label)}\t"
+                f"{case.overall.ratio():.9g}"
+            )
+            for ci, stat in enumerate(case.stats):
+                if ci < case.unavailable_before:
+                    out.write("\tN/A")
+                else:
+                    out.write(f"\t{stat.ratio():.9g}")
+            out.write("\n")
+    os.replace(tmp, report_path)
+    return cases

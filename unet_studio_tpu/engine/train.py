@@ -12,9 +12,9 @@ into ONE jitted SPMD train step over a device mesh:
                 SGD-nesterov step  (train.cpp:604-766 semantics)
 
 Host code only resolves file names, keeps the (tiny) template cache
-device-resident, and logs.  Work-stealing, slot flags, replica weight
-broadcasts and gradient merges all disappear — XLA's collectives over ICI
-replace them (SURVEY.md §2.10).
+resident, and logs.  Work-stealing, slot flags, replica weight broadcasts
+and gradient merges all disappear — XLA's collectives over ICI replace
+them (SURVEY.md §2.10).
 
 Determinism/resume contract: sample ``seed_id = epoch*batch_size + slot``;
 the augmentation key is ``fold_in(key(seed), seed_id)`` and the data-pick
@@ -28,7 +28,6 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -64,8 +63,130 @@ class TrainParam:
     remat: bool = True
 
 
-def _split_keys(base_key, seed_ids: np.ndarray):
-    return jnp.stack([jax.random.fold_in(base_key, int(s)) for s in seed_ids])
+def build_train_step(
+    model: UNet3d,
+    param: TrainParam,
+    mesh: Mesh,
+    *,
+    has_subjects: bool = False,
+    any_shift: bool = False,
+    collapse_k: int = 1,
+):
+    """Build the jitted SPMD (train_step, valid_step) pair.
+
+    train_step(params, opt_state, images (B,D,H,W,C), labels (B,D,H,W),
+    is_template (B,), need_shift (B,), keys (B,), lr) -> (params, opt_state,
+    metrics[ce_sum, dice_sum, mse_sum, count]) with the batch axis sharded
+    over the mesh's ``data`` axis and gradients psum-reduced over ICI.
+    """
+    spec = model.spec
+    n_classes = model.out_count
+    options = param.options
+    is_label = param.is_label
+    cost = (param.cost_ce, param.cost_dice, param.cost_mse)
+    cdt = jnp.bfloat16 if param.compute_dtype == "bfloat16" else jnp.float32
+    remat = param.remat
+    batch_size = param.batch_size
+    sgd_cfg = SGDConfig()
+
+    def item_loss(params, img, lab, is_template, need_shift, key):
+        """img (D,H,W,C) float, lab (D,H,W) float."""
+        k_sim, k_aug = jax.random.split(key)
+        if is_label:
+            sim_t = simulate_modality_template(img[..., 0], lab, n_classes, k_sim)
+            if has_subjects:
+                sim_s = simulate_modality_subject(img[..., 0], k_sim)
+                x = jnp.where(is_template, sim_t, sim_s)
+            else:
+                x = sim_t
+        else:
+            x = simulate_modality_subject(img[..., 0], k_sim)
+        aug_img, aug_lab = visual_perception_augmentation(
+            x[..., None], lab, k_aug, options, is_label
+        )
+        # augmentation has no parameter dependency: cut it out of the
+        # autodiff graph so no residuals are kept for backward
+        aug_img = jax.lax.stop_gradient(aug_img)
+        aug_lab = jax.lax.stop_gradient(aug_lab)
+        outs, _ = forward(
+            spec, params, aug_img[None], train=True, compute_dtype=cdt, remat=remat
+        )
+        target = aug_lab[None].astype(jnp.int32)
+        ds_loss = (
+            jax.checkpoint(deep_supervision_loss, static_argnums=(2, 3, 4, 5, 6))
+            if remat
+            else deep_supervision_loss
+        )
+        loss_plain, lvl0_plain = ds_loss(outs, target, n_classes, 0, *cost)
+        if any_shift:
+            loss_col, lvl0_col = ds_loss(
+                outs, target, n_classes, collapse_k, *cost
+            )
+            loss = jnp.where(need_shift, loss_col, loss_plain)
+            lvl0 = tuple(
+                jnp.where(need_shift, a, b) for a, b in zip(lvl0_col, lvl0_plain)
+            )
+        else:
+            loss, lvl0 = loss_plain, lvl0_plain
+        return loss, jnp.stack(lvl0)
+
+    grad_fn = jax.grad(item_loss, has_aux=True)
+
+    def device_step(params, opt_state, images, labels, is_template, need_shift, keys, lr):
+        """Per device shard: scan over local items accumulating grads, then
+        psum over the data axis (the reference's add_gradient_from + div +
+        clip + step, train.cpp:756-766)."""
+        # the grad/metric accumulators vary per device shard: mark them as
+        # varying over the data axis for shard_map's vma tracking
+        zero_grads = jax.tree.map(
+            lambda p: jax.lax.pvary(jnp.zeros_like(p), "data"), params
+        )
+        zero_metrics = jax.lax.pvary(jnp.zeros(4), "data")  # ce,dice,mse + count
+
+        def body(carry, item):
+            grads_acc, metrics = carry
+            img, lab, tmpl, shift, key = item
+            g, lvl0 = grad_fn(params, img, lab, tmpl, shift, key)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+            # training errors: recorded for all items when no subject data
+            # exists, else only for subject items (train.cpp:676-682)
+            record = (
+                (~tmpl).astype(jnp.float32) if has_subjects else jnp.float32(1.0)
+            )
+            metrics = metrics + jnp.concatenate(
+                [lvl0 * record, jnp.reshape(record, (1,))]
+            )
+            return (grads_acc, metrics), None
+
+        (grads, metrics), _ = jax.lax.scan(
+            body,
+            (zero_grads, zero_metrics),
+            (images, labels, is_template, need_shift, keys),
+        )
+        grads = jax.lax.psum(grads, "data")
+        metrics = jax.lax.psum(metrics, "data")
+        grads = jax.tree.map(lambda g: g / batch_size, grads)
+        new_params, new_opt = sgd_step(params, grads, opt_state, lr, sgd_cfg)
+        return new_params, new_opt, metrics
+
+    from jax import shard_map
+
+    sharded = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P("data"), P("data"), P("data"), P("data"), P("data"), P(),
+        ),
+        out_specs=(P(), P(), P()),
+    )
+    step_fn = jax.jit(sharded, donate_argnums=(0, 1))
+
+    def valid_fn(params, img, lab):
+        outs, _ = forward(spec, params, img, train=False, compute_dtype=cdt)
+        ce, dice, mse = calc_losses(outs[0], lab.astype(jnp.int32), n_classes)
+        return jnp.stack([ce, dice, mse])
+
+    return step_fn, jax.jit(valid_fn)
 
 
 class TrainEngine:
@@ -89,7 +210,7 @@ class TrainEngine:
         self.reading_status = self.training_status = self.validation_status = "idle"
         self.cur_epoch = 0
         self.dataset: TrainingDataset | None = None
-        self._cache: dict[int, tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._test_data: list[tuple[jnp.ndarray, jnp.ndarray]] = []
         self.opt_state = None
         self._step_fn = None
@@ -115,7 +236,14 @@ class TrainEngine:
         # resume epoch derived from the error history (train.cpp:1005)
         self.cur_epoch = (len(self.model.testing_errors) // 3) % self.param.epoch
         self._load_test_volumes()
-        self._build_step()
+        self._step_fn, self._valid_fn = build_train_step(
+            self.model,
+            self.param,
+            self.mesh,
+            has_subjects=self.dataset.has_subject_data,
+            any_shift=any(self.dataset.need_shift),
+            collapse_k=int(self.dataset.max_template_label + 1),
+        )
         self.training_status = "training"
 
     def _maybe_load_optimizer(self) -> None:
@@ -151,7 +279,9 @@ class TrainEngine:
                 mx = lab.max()
                 if mx > 0:
                     lab = lab / mx
-            self._test_data.append((jnp.asarray(img)[None], jnp.asarray(lab)[None]))
+            self._test_data.append(
+                (jnp.asarray(img[..., None])[None], jnp.asarray(lab)[None])
+            )
 
     def _load_item(self, read_id: int) -> tuple[np.ndarray, np.ndarray]:
         """Load + resample one pair; templates cached (train.cpp:404-432)."""
@@ -174,113 +304,6 @@ class TrainEngine:
             self._cache[read_id] = pair
         return pair
 
-    # ------------------------------------------------------------- train step
-
-    def _build_step(self) -> None:
-        spec = self.model.spec
-        n_classes = self.model.out_count
-        collapse_k = int(self.dataset.max_template_label + 1)
-        has_subjects = self.dataset.has_subject_data
-        any_shift = any(self.dataset.need_shift)
-        options = self.param.options
-        is_label = self.param.is_label
-        cost = (self.param.cost_ce, self.param.cost_dice, self.param.cost_mse)
-        cdt = jnp.bfloat16 if self.param.compute_dtype == "bfloat16" else jnp.float32
-        remat = self.param.remat
-        batch_size = self.param.batch_size
-        sgd_cfg = SGDConfig()
-        mesh = self.mesh
-
-        def item_loss(params, img, lab, is_template, need_shift, key):
-            """img (D,H,W,1) float, lab (D,H,W) float."""
-            k_sim, k_aug = jax.random.split(key)
-            t1w = img[..., 0]
-            if is_label:
-                sim_t = simulate_modality_template(t1w, lab, n_classes, k_sim)
-                if has_subjects:
-                    sim_s = simulate_modality_subject(t1w, k_sim)
-                    t1w = jnp.where(is_template, sim_t, sim_s)
-                else:
-                    t1w = sim_t
-            else:
-                t1w = simulate_modality_subject(t1w, k_sim)
-            aug_img, aug_lab = visual_perception_augmentation(
-                t1w[..., None], lab, k_aug, options, is_label
-            )
-            outs, _ = forward(
-                spec, params, aug_img[None], train=True, compute_dtype=cdt,
-                remat=remat,
-            )
-            target = aug_lab[None].astype(jnp.int32)
-            loss_plain, lvl0_plain = deep_supervision_loss(
-                outs, target, n_classes, 0, *cost
-            )
-            if any_shift:
-                loss_col, lvl0_col = deep_supervision_loss(
-                    outs, target, n_classes, collapse_k, *cost
-                )
-                loss = jnp.where(need_shift, loss_col, loss_plain)
-                lvl0 = tuple(
-                    jnp.where(need_shift, a, b) for a, b in zip(lvl0_col, lvl0_plain)
-                )
-            else:
-                loss, lvl0 = loss_plain, lvl0_plain
-            return loss, jnp.stack(lvl0)
-
-        grad_fn = jax.grad(item_loss, has_aux=True)
-
-        def device_step(params, opt_state, images, labels, is_template, need_shift, keys, lr):
-            """Runs per device shard: scan over local items accumulating
-            grads, then psum over the data axis (the reference's
-            add_gradient_from + div + clip + step, train.cpp:756-766)."""
-            zero_grads = jax.tree.map(lambda p: jnp.zeros_like(p), params)
-            zero_metrics = jnp.zeros(4)  # ce,dice,mse sum + count
-
-            def body(carry, item):
-                grads_acc, metrics = carry
-                img, lab, tmpl, shift, key = item
-                g, lvl0 = grad_fn(params, img, lab, tmpl, shift, key)
-                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
-                # training errors: recorded for all items when no subject
-                # data, else only for subject items (train.cpp:676-682)
-                record = jnp.where(
-                    jnp.asarray(has_subjects), ~tmpl, jnp.asarray(True)
-                ).astype(jnp.float32)
-                metrics = metrics + jnp.concatenate([lvl0 * record, record[None]])
-                return (grads_acc, metrics), None
-
-            (grads, metrics), _ = jax.lax.scan(
-                body, (zero_grads, zero_metrics),
-                (images, labels, is_template, need_shift, keys),
-            )
-            grads = jax.lax.psum(grads, "data")
-            metrics = jax.lax.psum(metrics, "data")
-            grads = jax.tree.map(lambda g: g / batch_size, grads)
-            new_params, new_opt = sgd_step(params, grads, opt_state, lr, sgd_cfg)
-            return new_params, new_opt, metrics
-
-        from jax.experimental.shard_map import shard_map
-
-        sharded = shard_map(
-            device_step,
-            mesh=mesh,
-            in_specs=(
-                P(), P(), P("data"), P("data"), P("data"), P("data"), P("data"), P(),
-            ),
-            out_specs=(P(), P(), P()),
-            check_rep=False,
-        )
-        self._step_fn = jax.jit(sharded, donate_argnums=(0, 1))
-
-        def valid_fn(params, img, lab):
-            outs, _ = forward(
-                spec, params, img, train=False, compute_dtype=cdt,
-            )
-            ce, dice, mse = calc_losses(outs[0], lab.astype(jnp.int32), n_classes)
-            return jnp.stack([ce, dice, mse])
-
-        self._valid_fn = jax.jit(valid_fn)
-
     # ------------------------------------------------------------- epoch loop
 
     def _assemble_batch(self, epoch: int):
@@ -288,7 +311,6 @@ class TrainEngine:
         ds = self.dataset
         rng = np.random.default_rng(self.param.seed)
         b = self.param.batch_size
-        # advance the index stream deterministically to this epoch
         ids = []
         for seed_id in range(epoch * b + b):
             idx = ds.sample_index(rng, seed_id % b, b)
@@ -325,7 +347,7 @@ class TrainEngine:
         if metrics[3] > 0:
             errs = (metrics[:3] / metrics[3]).tolist()
             self.model.training_errors.extend(round(float(v), 6) for v in errs)
-        # validation on the 2 held-out templates (train.cpp:826-896)
+        # validation on the held-out templates (train.cpp:826-896)
         self.validation_status = "validating"
         if self._test_data:
             vals = np.zeros(3)
@@ -352,9 +374,9 @@ class TrainEngine:
         }
 
     def sync_params_to_model(self) -> None:
-        self.model.params = {k: v for k, v in self._params.items()}
+        self.model.params = dict(self._params)
 
-    def run(self, log_every: int = 1, chart: bool = True) -> None:
+    def run(self, chart: bool = True) -> None:
         """Blocking loop to param.epoch (the headless path,
         train.cpp:913-919)."""
         start = time.time()
@@ -379,7 +401,7 @@ class TrainEngine:
             if done > 0:
                 elapsed = time.time() - start_time
                 rem = elapsed * (self.param.epoch - self.cur_epoch) / done
-                s += f",{int(rem//3600)}h{int(rem%3600//60)}m"
+                s += f",{int(rem // 3600)}h{int(rem % 3600 // 60)}m"
             out[1 : 1 + len(s)] = s
             print("".join(out))
         out = list(

@@ -156,7 +156,7 @@ def _precision_for(dtype):
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
-def _conv(x, w, b, stride: int, ks: int):
+def _conv_lax(x, w, b, stride: int, ks: int):
     pad = (ks - 1) // 2
     y = jax.lax.conv_general_dilated(
         x,
@@ -165,9 +165,231 @@ def _conv(x, w, b, stride: int, ks: int):
         padding=[(pad, pad)] * 3,
         dimension_numbers=_CONV_DN,
         precision=_precision_for(x.dtype),
-        preferred_element_type=jnp.float32,
+        # output dtype matches inputs; the MXU still accumulates in fp32
+        # internally, and a fp32 preferred type breaks the bf16 VJP
+        preferred_element_type=x.dtype,
     )
-    return (y + b.astype(jnp.float32)).astype(x.dtype)
+    return y + b.astype(x.dtype)
+
+
+# --- chunked convolution ----------------------------------------------------
+#
+# XLA's TPU conv pads the channel dimension to the 128-lane width, so a
+# 16-channel full-resolution conv transiently costs (128/C + 1) x its I/O
+# in HBM (measured: 4.27 GiB for ONE full-grid 16->16 conv) — the whole
+# backward pass then cannot fit a v5e chip.  Splitting the conv into
+# z-slabs with a 1-voxel halo is exact, keeps XLA's fast conv kernels, and
+# an optimization_barrier chain forces the slabs to execute sequentially
+# so only one padded transient is live at a time (measured: 4.27 -> 1.0
+# GiB at full grid, same 6 ms runtime).  A space-to-depth formulation was
+# also evaluated: equally exact and even leaner on memory, but 25x slower
+# because the 8x FLOP inflation outweighs the lane-utilization gain.
+
+_MAX_CHUNK_VOX = 1_100_000  # ~0.6 GiB padded transient per slab
+
+
+def _pick_chunks(d: int, voxels: int) -> int:
+    if voxels <= _MAX_CHUNK_VOX:
+        return 1
+    need = -(-voxels // _MAX_CHUNK_VOX)
+    for n in range(need, d + 1):
+        if d % n == 0:
+            return n
+    return d
+
+
+def _chunk_bounds(q0: int, tz_out: int, stride: int, d: int):
+    in_lo = max(q0 * stride - 1, 0)
+    in_hi = min((q0 + tz_out - 1) * stride + 2, d)
+    pz = (
+        1 if q0 == 0 else 0,
+        1 if (in_hi == d and stride == 1) else 0,
+    )
+    return in_lo, in_hi, pz
+
+
+def _chunk_conv(slab, wb, stride, pz):
+    return jax.lax.conv_general_dilated(
+        slab,
+        wb,
+        window_strides=(stride, stride, stride),
+        padding=[pz, (1, 1), (1, 1)],
+        dimension_numbers=_CONV_DN,
+        precision=_precision_for(slab.dtype),
+        preferred_element_type=slab.dtype,
+    )
+
+
+def _conv_eval(x, w, b, stride: int, ks: int):
+    """Pure conv evaluation: z-chunked with a barrier chain when the
+    padded transient would be large, plain lax conv otherwise.  Never
+    differentiated directly — _conv_cv supplies the backward."""
+    n, d, h, wd, ci = x.shape
+    co = w.shape[-1]
+    if ks == 3 and max(ci, co) < 128:
+        od = d // stride
+        voxels = od * (h // stride) * (wd // stride)
+        n_chunks = _pick_chunks(od, voxels)
+        if n_chunks > 1:
+            wb = w.astype(x.dtype)
+            tz_out = od // n_chunks
+            ys = []
+            token = None
+            for c in range(n_chunks):
+                in_lo, in_hi, pz = _chunk_bounds(c * tz_out, tz_out, stride, d)
+                sl = jax.lax.slice(x, (0, in_lo, 0, 0, 0), (n, in_hi, h, wd, ci))
+                if token is not None:
+                    sl, token = jax.lax.optimization_barrier((sl, token))
+                y = _chunk_conv(sl, wb, stride, pz)
+                token = y
+                ys.append(y)
+            return jnp.concatenate(ys, axis=1) + b.astype(x.dtype)
+    return _conv_lax(x, w, b, stride, ks)
+
+
+def _conv_dx_s2_parity(g, w, x_dtype):
+    """dx of a stride-2 k3 conv via parity decomposition: for each output
+    parity r in {0,1}^3, dx[2q+r] is a tiny (k<=2)^3 conv over g at half
+    resolution; the 8 parity fields are interleaved back.  This avoids the
+    lane-padded full-resolution transposed conv entirely.
+
+    Per axis:  r=0 -> taps {w[1]};  r=1 -> out[q] = g[q]w[2] + g[q+1]w[0].
+    """
+    co = g.shape[-1]
+    ci = w.shape[3]
+    parts = []
+    for rz in (0, 1):
+        for ry in (0, 1):
+            for rx in (0, 1):
+                taps = []  # (jz, jy, jx, kz_idx, ky_idx, kx_idx)
+                js = [( (1,), (0,) ) if r == 0 else ( (2, 0), (0, 1) ) for r in (rz, ry, rx)]
+                (jzs, kzs), (jys, kys), (jxs, kxs) = js
+                kshape = (len(jzs), len(jys), len(jxs))
+                k = jnp.zeros(kshape + (co, ci), jnp.float32)
+                for a, jz in enumerate(jzs):
+                    for bb, jy in enumerate(jys):
+                        for cc, jx in enumerate(jxs):
+                            k = k.at[a, bb, cc].set(
+                                w[jz, jy, jx].astype(jnp.float32).T
+                            )
+                pad = [
+                    (0, 0) if r == 0 else (0, 1) for r in (rz, ry, rx)
+                ]
+                part = jax.lax.conv_general_dilated(
+                    g,
+                    k.astype(x_dtype),
+                    window_strides=(1, 1, 1),
+                    padding=pad,
+                    dimension_numbers=_CONV_DN,
+                    precision=_precision_for(x_dtype),
+                    preferred_element_type=x_dtype,
+                )
+                parts.append(part)
+    # interleave parity fields (same pattern as _d2s)
+    q = [_interleave2(parts[2 * i], parts[2 * i + 1], 3) for i in range(4)]
+    r = [_interleave2(q[2 * i], q[2 * i + 1], 2) for i in range(2)]
+    return _interleave2(r[0], r[1], 1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv_cv(x, w, b, stride: int, ks: int):
+    """k3 conv with a memory-bounded hand-written VJP.
+
+    Autodiff's conv backward emits lane-padded conv transients for BOTH dx
+    and dw and the scheduler overlaps them (the full-grid backward then
+    exceeds HBM).  Here: dx is one (chunked) conv; dw is 27 big-K einsums
+    (MXU-dense, tiny temps) barrier-chained behind dx; stride-2 dx uses the
+    parity decomposition."""
+    return _conv_eval(x, w, b, stride, ks)
+
+
+def _conv_cv_fwd(x, w, b, stride, ks):
+    return _conv_eval(x, w, b, stride, ks), (x, w)
+
+
+def _conv_cv_bwd(stride, ks, res, g):
+    x, w = res
+    n, d, h, wd, ci = x.shape
+    co = g.shape[-1]
+    pad = (ks - 1) // 2
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3))
+    wt = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    if stride == 1:
+        dx = _conv_eval(g, wt, jnp.zeros(ci, jnp.float32), 1, ks)
+    else:
+        dx = _conv_dx_s2_parity(g, w, x.dtype)
+    # dw: per-offset big-K contractions.  XLA pads the tiny (ci, co) output
+    # dims to 128 lanes, so the padded operands transiently cost
+    # ~(128/ci)x the slice I/O — bound it by running the contraction over
+    # z-chunks, barrier-chained behind dx and each other.
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)))
+    dx, token = jax.lax.optimization_barrier((dx, g))
+    od = d // stride
+    n_chunks = _pick_chunks(od, od * (h // stride) * (wd // stride))
+    tz_out = od // n_chunks
+    dws = [jnp.zeros((ci, co), jnp.float32)] * (ks * ks * ks)
+    for c in range(n_chunks):
+        q0 = c * tz_out
+        x_lo = q0 * stride
+        x_rows = (tz_out - 1) * stride + ks
+        slab = jax.lax.slice(
+            xp, (0, x_lo, 0, 0, 0), (n, x_lo + x_rows, h + 2 * pad, wd + 2 * pad, ci)
+        )
+        g_chunk = jax.lax.slice(
+            g, (0, q0, 0, 0, 0), (n, q0 + tz_out, g.shape[2], g.shape[3], co)
+        )
+        slab, token = jax.lax.optimization_barrier((slab, token))
+        idx = 0
+        last = None
+        for dz in range(ks):
+            for dy in range(ks):
+                for dxo in range(ks):
+                    sl = jax.lax.slice(
+                        slab,
+                        (0, dz, dy, dxo, 0),
+                        (n, dz + x_rows - ks + 1, dy + h, dxo + wd, ci),
+                        (1, stride, stride, stride, 1),
+                    )
+                    part = jnp.einsum(
+                        "ndhwc,ndhwo->co",
+                        sl,
+                        g_chunk,
+                        preferred_element_type=jnp.float32,
+                        precision=_precision_for(x.dtype),
+                    )
+                    dws[idx] = dws[idx] + part
+                    last = part
+                    idx += 1
+        token = last
+    dw = jnp.stack(dws).reshape(ks, ks, ks, ci, co)
+    return dx, dw, db
+
+
+_conv_cv.defvjp(_conv_cv_fwd, _conv_cv_bwd)
+
+
+def _conv(x, w, b, stride: int, ks: int):
+    if ks == 3:
+        return _conv_cv(x, w, b, stride, ks)
+    return _conv_lax(x, w, b, stride, ks)
+
+
+def _interleave2(a, b, axis):
+    s = jnp.stack([a, b], axis=axis + 1)
+    shp = list(a.shape)
+    shp[axis] *= 2
+    return s.reshape(shp)
+
+
+def _d2s(x):
+    """2x2x2 depth-to-space via pairwise axis interleaves (stack+reshape),
+    ~4x cheaper than the transpose form on TPU."""
+    c = x.shape[-1] // 8
+    parts = [x[..., i * c : (i + 1) * c] for i in range(8)]
+    q = [_interleave2(parts[2 * i], parts[2 * i + 1], 3) for i in range(4)]
+    r = [_interleave2(q[2 * i], q[2 * i + 1], 2) for i in range(2)]
+    return _interleave2(r[0], r[1], 1)
+
 
 
 def _conv_trans2x(x, w, b):
@@ -177,13 +399,11 @@ def _conv_trans2x(x, w, b):
     y = jnp.dot(
         x.reshape(-1, ci), w.reshape(ci, 8 * co).astype(x.dtype),
         precision=_precision_for(x.dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
-    y = y.reshape(n, d, h, wd, 2, 2, 2, co)
-    y = (y + b.astype(jnp.float32)).astype(x.dtype)
-    # (n, d,2, h,2, w,2, co) then merge pairs
-    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
-    return y.reshape(n, 2 * d, 2 * h, 2 * wd, co)
+    # 8co blocks are ordered (dz,dy,dx,co) — exactly the _d2s parity order
+    y = y.reshape(n, d, h, wd, 8 * co) + jnp.tile(b, 8).astype(x.dtype)
+    return _d2s(y)
 
 
 def _max_pool2(x):
@@ -198,20 +418,69 @@ def _max_pool2(x):
 
 
 def _upsample2(x):
-    n, d, h, w, c = x.shape
-    x = jnp.broadcast_to(
-        x[:, :, None, :, None, :, None, :], (n, d, 2, h, 2, w, 2, c)
+    for axis in (3, 2, 1):
+        x = _interleave2(x, x, axis)
+    return x
+
+
+def _in_stats(x, eps):
+    """Per-(sample, channel) mean and rsqrt(var+eps) in fp32; the fp32
+    upcasts fuse into the reductions so nothing full-res fp32 hits HBM."""
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(
+        jnp.square(x.astype(jnp.float32) - mean), axis=(1, 2, 3), keepdims=True
     )
-    return x.reshape(n, 2 * d, 2 * h, 2 * w, c)
+    return mean, jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _instance_norm(x, scale, bias, eps=1e-5):
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return y.astype(x.dtype)
+    """InstanceNorm3d(affine) with a hand-written VJP.
+
+    Autodiff's backward materializes several full-resolution fp32 temps
+    (measured 4.6 GiB for one full-grid norm); this VJP keeps every
+    elementwise op in the compute dtype with fp32 statistics only:
+        dx = inv*scale * (g - mean(g) - xhat * mean(g*xhat))
+    """
+    mean, inv = _in_stats(x, eps)
+    a = (inv * scale.astype(jnp.float32)).astype(x.dtype)
+    b = (bias.astype(jnp.float32) - mean * inv * scale.astype(jnp.float32)).astype(
+        x.dtype
+    )
+    return x * a + b
+
+
+def _instance_norm_fwd(x, scale, bias, eps):
+    mean, inv = _in_stats(x, eps)
+    a = (inv * scale.astype(jnp.float32)).astype(x.dtype)
+    b = (bias.astype(jnp.float32) - mean * inv * scale.astype(jnp.float32)).astype(
+        x.dtype
+    )
+    return x * a + b, (x, scale, mean, inv)
+
+
+def _instance_norm_bwd(eps, res, g):
+    x, scale, mean, inv = res
+    n_vox = x.shape[1] * x.shape[2] * x.shape[3]
+    mean_c = mean.astype(x.dtype)
+    inv_c = inv.astype(x.dtype)
+    xhat = (x - mean_c) * inv_c  # compute-dtype elementwise
+    g_mean = jnp.mean(g, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+    gx_mean = jnp.mean(
+        g.astype(jnp.float32) * xhat.astype(jnp.float32),
+        axis=(1, 2, 3),
+        keepdims=True,
+    )
+    coef = (inv * scale.astype(jnp.float32)).astype(x.dtype)
+    dx = coef * (
+        g - g_mean.astype(x.dtype) - xhat * gx_mean.astype(x.dtype)
+    )
+    dscale = (gx_mean * n_vox).sum(axis=0).reshape(-1)
+    dbias = (g_mean * n_vox).sum(axis=0).reshape(-1)
+    return dx, dscale.astype(jnp.float32), dbias.astype(jnp.float32)
+
+
+_instance_norm.defvjp(_instance_norm_fwd, _instance_norm_bwd)
 
 
 def _batch_norm(x, scale, bias, mean, var, train: bool, eps=0.0):
@@ -381,6 +650,11 @@ class UNet3d:
             remat=remat,
         )
         return results
+
+    def prepare_for_inference(self) -> None:
+        """Reset BatchNorm running stats to identity so bnorm acts as a
+        plain affine at inference (unet.cpp:7-22)."""
+        self.state = init_state(self.spec)
 
     def copy_from(self, other: "UNet3d") -> None:
         """Size-checked parameter copy (unet.cpp:195-222)."""

@@ -45,7 +45,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .perlin import perlin_octaves
-from .resample import affine_matrix, meshgrid_xyz, sample_linear, sample_majority
+from .resample import (
+    affine_matrix,
+    meshgrid_xyz,
+    sample_linear,
+    sample_warp_image_label,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -141,13 +146,17 @@ def _where_tree(gate, a, b):
 
 
 def _apply(gate, fn, *args):
-    """Run fn when gate fires.  Static gates resolve at trace time."""
+    """Run fn when gate fires.  Static gates resolve at trace time; traced
+    gates become a real lax.cond branch — the train step scans items
+    sequentially per device (no vmap), so a 25-75% gate really skips its op
+    most steps instead of paying for both sides of a select."""
     if gate is False:
         return args if len(args) > 1 else args[0]
-    out = fn(*args)
     if gate is True:
-        return out
-    return _where_tree(gate, out, args if len(args) > 1 else args[0])
+        return fn(*args)
+    if len(args) > 1:
+        return jax.lax.cond(gate, fn, lambda *a: a, *args)
+    return jax.lax.cond(gate, fn, lambda a: a, args[0])
 
 
 def _normalize(img):
@@ -354,31 +363,32 @@ def visual_perception_augmentation(
     if g_dist is not False:
         k_num = feed()
         max_foci = int(opt.distortion_count)
-        num = jnp.floor(_uniform(k_num, 1.0, opt.distortion_count + 1.0))
-        base = meshgrid_xyz(shape_dhw)
-        disp = jnp.zeros_like(pos)
-        for i in range(max_foci):
-            k_c, k_r, k_m = feed(), feed(), feed()
-            frac = _uniform(k_c, 0.3, 0.7, (3,))
-            c = frac * jnp.asarray([w - 1, h - 1, d - 1], jnp.float32)
-            radius = w * _uniform(
-                k_r, opt.distortion_radius_min, opt.distortion_radius_max
-            )
-            mag = _uniform(k_m, opt.distortion_mag_min, opt.distortion_mag_max)
-            active = (jnp.float32(i) < num).astype(jnp.float32)
-            dirv = base - c
-            length = jnp.linalg.norm(dirv, axis=-1, keepdims=True)
-            inside = (length <= radius) & (length > 1e-6)
-            coef = jnp.where(
-                inside,
-                -radius * mag * jnp.sin(length * (np.pi / radius)) / length,
-                0.0,
-            )
-            disp = disp + dirv * coef * active
-        if g_dist is True:
-            pos = pos + disp
-        else:
-            pos = pos + jnp.where(g_dist, 1.0, 0.0) * disp
+        foci_keys = [(feed(), feed(), feed()) for _ in range(max_foci)]
+
+        def add_foci(pos):
+            num = jnp.floor(_uniform(k_num, 1.0, opt.distortion_count + 1.0))
+            base = meshgrid_xyz(shape_dhw)
+            disp = jnp.zeros_like(pos)
+            for i, (k_c, k_r, k_m) in enumerate(foci_keys):
+                frac = _uniform(k_c, 0.3, 0.7, (3,))
+                c = frac * jnp.asarray([w - 1, h - 1, d - 1], jnp.float32)
+                radius = w * _uniform(
+                    k_r, opt.distortion_radius_min, opt.distortion_radius_max
+                )
+                mag = _uniform(k_m, opt.distortion_mag_min, opt.distortion_mag_max)
+                active = (jnp.float32(i) < num).astype(jnp.float32)
+                dirv = base - c
+                length = jnp.linalg.norm(dirv, axis=-1, keepdims=True)
+                inside = (length <= radius) & (length > 1e-6)
+                coef = jnp.where(
+                    inside,
+                    -radius * mag * jnp.sin(length * (np.pi / radius)) / length,
+                    0.0,
+                )
+                disp = disp + dirv * coef * active
+            return pos + disp
+
+        pos = _apply(g_dist, add_foci, pos)
 
     # perspective (.cpp:297-301,320)
     if opt.perspective > 0.0:
@@ -391,10 +401,17 @@ def visual_perception_augmentation(
     # rigid motion (.cpp:320)
     coords = pos @ trans34[:, :3].T + trans34[:, 3]
 
-    out_image = sample_linear(image, coords)
+    # warp is gather-bound on TPU: fuse image ch0 + label into one packed
+    # 8-corner fetch (sample_warp_image_label) when labels are categorical
     if is_label:
-        out_label = sample_majority(label, coords)
+        ch0, out_label = sample_warp_image_label(image[..., 0], label, coords)
+        if image.shape[-1] == 1:
+            out_image = ch0[..., None]
+        else:
+            rest = sample_linear(image[..., 1:], coords)
+            out_image = jnp.concatenate([ch0[..., None], rest], axis=-1)
     else:
+        out_image = sample_linear(image, coords)
         out_label = sample_linear(label, coords)
 
     # -- 7. clamp + normalize per channel (.cpp:339-343) ---------------------
@@ -405,71 +422,71 @@ def visual_perception_augmentation(
     if is_label:
         bg_mask = out_label == 0
 
+        # draw all gates/keys up front (key-feed order is trace-static)
         g_zero = _gate(opt.zero_background, feed)
-        zero_bg_image = None
-        if g_zero is not False:
-            zero_bg_image = jnp.where(bg_mask[..., None], 0.0, out_image)
-            if g_zero is True:
-                return zero_bg_image, out_label
-
-        synth = out_image
+        g_stamp = _gate(opt.rubber_stamping, feed)
+        k_args = feed()
+        g_perlin = _gate(opt.perlin_texture, feed)
+        k_zoom, k_mag, k_seed = feed(), feed(), feed()
 
         def blend(src, b):
             return src + b * jnp.maximum(0.1, 1.0 - src)
 
-        g_stamp = _gate(opt.rubber_stamping, feed)
-        if g_stamp is not False:
-            k_args = feed()
+        def zero_fn(img):
+            return jnp.where(bg_mask[..., None], 0.0, img)
+
+        def stamp(img):
+            # stamps are smooth background clutter: render them at half
+            # resolution (1/8 the gather traffic) and nearest-upsample;
+            # same distribution, warp cost /8.
             masked = image * (label != 0)[..., None]
-
-            def stamp(img):
-                out = img
-                for it in range(5):
-                    k_it = jax.random.fold_in(k_args, it)
-                    ks = jax.random.split(k_it, 4)
-                    t = _uniform(ks[0], -0.5, 0.5, (3,)) * jnp.asarray(
-                        [w, h, d], jnp.float32
-                    )
-                    rot = _uniform(ks[1], -2 * np.pi, 2 * np.pi, (3,))
-                    sc = _uniform(ks[2], 0.8, 1.25, (3,))
-                    m34 = affine_matrix(
-                        tuple(t[i] for i in range(3)),
-                        tuple(rot[i] for i in range(3)),
-                        tuple(sc[i] for i in range(3)),
-                        shape_dhw,
-                    )
-                    bg = sample_linear(masked, meshgrid_xyz(shape_dhw) @ m34[:, :3].T + m34[:, 3])
-                    bg = jnp.maximum(bg, 0.0)
-                    targets = _uniform(ks[3], 0.0, 1.0, (bg.shape[-1],)) * opt.rubber_stamping_mag
-                    bg = jax.vmap(_normalize_to, in_axes=(-1, 0), out_axes=-1)(
-                        bg, targets
-                    )
-                    out = jnp.where(bg_mask[..., None], blend(out, bg), out)
-                return out
-
-            synth = _apply(g_stamp, stamp, synth)
-
-        g_perlin = _gate(opt.perlin_texture, feed)
-        if g_perlin is not False:
-            k_zoom, k_mag, k_seed = feed(), feed(), feed()
-
-            def perlin(img):
-                zoom = _uniform(k_zoom, 0.005, 0.05)
-                seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
-                bg = perlin_octaves(shape_dhw, zoom, seed)
-                bg = _normalize_to(
-                    bg, _uniform(k_mag, 0.0, 1.0) * opt.perlin_texture_mag
+            half = (d // 2, h // 2, w // 2)
+            grid_half = meshgrid_xyz(half) * 2.0
+            out = img
+            for it in range(5):
+                ks = jax.random.split(jax.random.fold_in(k_args, it), 4)
+                t = _uniform(ks[0], -0.5, 0.5, (3,)) * jnp.asarray(
+                    [w, h, d], jnp.float32
                 )
-                return jnp.where(bg_mask[..., None], blend(img, bg[..., None]), img)
+                rot = _uniform(ks[1], -2 * np.pi, 2 * np.pi, (3,))
+                sc = _uniform(ks[2], 0.8, 1.25, (3,))
+                m34 = affine_matrix(
+                    tuple(t[i] for i in range(3)),
+                    tuple(rot[i] for i in range(3)),
+                    tuple(sc[i] for i in range(3)),
+                    shape_dhw,
+                )
+                bg = sample_linear(masked, grid_half @ m34[:, :3].T + m34[:, 3])
+                bg = jnp.maximum(bg, 0.0)
+                targets = (
+                    _uniform(ks[3], 0.0, 1.0, (bg.shape[-1],))
+                    * opt.rubber_stamping_mag
+                )
+                bg = jax.vmap(_normalize_to, in_axes=(-1, 0), out_axes=-1)(bg, targets)
+                bg = (
+                    jnp.repeat(jnp.repeat(jnp.repeat(bg, 2, 0), 2, 1), 2, 2)
+                )[: img.shape[0], : img.shape[1], : img.shape[2]]
+                out = jnp.where(bg_mask[..., None], blend(out, bg), out)
+            return out
 
-            synth = _apply(g_perlin, perlin, synth)
+        def perlin(img):
+            zoom = _uniform(k_zoom, 0.005, 0.05)
+            seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+            bg = perlin_octaves(shape_dhw, zoom, seed)
+            bg = _normalize_to(bg, _uniform(k_mag, 0.0, 1.0) * opt.perlin_texture_mag)
+            return jnp.where(bg_mask[..., None], blend(img, bg[..., None]), img)
 
-        synth = jnp.maximum(synth, 0.0)
-        synth = jax.vmap(_normalize, in_axes=-1, out_axes=-1)(synth)
+        def synth_fn(img):
+            img = _apply(g_stamp, stamp, img)
+            img = _apply(g_perlin, perlin, img)
+            img = jnp.maximum(img, 0.0)
+            return jax.vmap(_normalize, in_axes=-1, out_axes=-1)(img)
 
-        if zero_bg_image is not None:
-            out_image = _where_tree(g_zero, zero_bg_image, synth)
+        if g_zero is True:
+            out_image = zero_fn(out_image)
+        elif g_zero is False:
+            out_image = synth_fn(out_image)
         else:
-            out_image = synth
+            out_image = jax.lax.cond(g_zero, zero_fn, synth_fn, out_image)
 
     return out_image, out_label

@@ -48,24 +48,30 @@ def calc_losses(
     n = jnp.maximum(valid.sum(), 1.0)
     target = jnp.where(raw_target < n_classes, target, 0)
 
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    ce_map = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
-    ce = (ce_map * valid).sum() / n
+    # memory note: probabilities are NEVER materialized as a (…,C) fp32
+    # tensor (at the full model grid that plus a one-hot costs >1 GiB);
+    # everything is per-class expressions that fuse into reductions.
+    lse = jax.nn.logsumexp(logits, axis=-1)  # (N,D,H,W)
+    logit_t = jnp.take_along_axis(logits, target[..., None], axis=-1)[..., 0]
+    ce = ((lse - logit_t) * valid).sum() / n
 
-    prob = jnp.clip(jnp.exp(logp), 1e-6, 1.0 - 1e-6)
-    target_prob = jnp.take_along_axis(prob, target[..., None], axis=-1)[..., 0]
-    mse = (((prob * prob).sum(-1) - 2.0 * target_prob + 1.0) * valid).sum() / n
+    def prob_of(logit_c):
+        return jnp.clip(jnp.exp(logit_c - lse), 1e-6, 1.0 - 1e-6)
+
+    sum_p2 = sum(jnp.square(prob_of(logits[..., c])) for c in range(out_c))
+    target_prob = prob_of(logit_t)
+    mse = ((sum_p2 - 2.0 * target_prob + 1.0) * valid).sum() / n
 
     # soft dice over classes 1..out_c-1, per sample then averaged
     eps = 1e-5
     batch = logits.shape[0]
-    onehot = jax.nn.one_hot(target, out_c, dtype=jnp.float32)  # (N,D,H,W,C)
-    p = prob * valid[..., None]
-    m = onehot * valid[..., None]
-    inter = jnp.sum(p * m, axis=(1, 2, 3))  # (N, C)
-    card = jnp.sum(p + m, axis=(1, 2, 3))
-    dice_per = (2.0 * inter[:, 1:] + eps) / (card[:, 1:] + eps)  # (N, C-1)
-    dice_sum = dice_per.sum()
+    dice_sum = 0.0
+    for c in range(1, out_c):
+        p = prob_of(logits[..., c]) * valid
+        m = (target == c).astype(jnp.float32) * valid
+        inter = jnp.sum(p * m, axis=(1, 2, 3))  # (N,)
+        card = jnp.sum(p + m, axis=(1, 2, 3))
+        dice_sum = dice_sum + jnp.sum((2.0 * inter + eps) / (card + eps))
     dice = 1.0 - dice_sum / float(batch * max(1, out_c - 1))
     return ce, dice, mse
 

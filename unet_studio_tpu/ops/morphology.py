@@ -17,7 +17,15 @@ _STRUCT6 = ndimage.generate_binary_structure(3, 1)  # 6-connectivity
 
 
 def connected_components(mask: np.ndarray):
-    """Label 6-connected components.  Returns (labels int32, counts)."""
+    """Label 6-connected components.  Returns (labels int32, counts).
+
+    Uses the native C++ union-find (utils/native.py) when a compiler is
+    available; scipy.ndimage otherwise."""
+    from ..utils.native import cc3d_label
+
+    native = cc3d_label(mask)
+    if native is not None:
+        return native
     labels, n = ndimage.label(mask, structure=_STRUCT6)
     if n == 0:
         return labels.astype(np.int32), np.zeros(1, np.int64)

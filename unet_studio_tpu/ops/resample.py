@@ -102,15 +102,82 @@ def sample_majority(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
             for dx in (0, 1):
                 wx = (1 - fx) if dx == 0 else fx
                 labels.append(_gather_dhw(vol, z0 + dz, y0 + dy, x0 + dx))
-                weights.append(wz * wy * wx)
-    labels = jnp.stack(labels, axis=-1)  # (..., 8)
-    weights = jnp.stack(weights, axis=-1).astype(jnp.float32)
-    # score[c] = sum of weights where label == labels[c]
-    same = labels[..., :, None] == labels[..., None, :]  # (..., 8, 8)
-    scores = jnp.sum(same * weights[..., None, :], axis=-1)  # (..., 8)
-    winner = jnp.argmax(scores, axis=-1)
-    out = jnp.take_along_axis(labels, winner[..., None], axis=-1)[..., 0]
-    return jnp.where(valid, out, jnp.zeros_like(out))
+                weights.append((wz * wy * wx).astype(jnp.float32))
+    # running argmax over the 8 candidates: score_c = sum_j w_j [l_j == l_c].
+    # Sequential accumulation keeps peak memory at a few (...,)-sized temps
+    # (a (...,8,8) vote matrix would be ~4 GB at the full model grid).
+    best_label = labels[0]
+    best_score = None
+    for c in range(8):
+        score = weights[0] * (labels[0] == labels[c])
+        for j in range(1, 8):
+            score = score + weights[j] * (labels[j] == labels[c])
+        if best_score is None:
+            best_score = score
+        else:
+            better = score > best_score
+            best_score = jnp.where(better, score, best_score)
+            best_label = jnp.where(better, labels[c], best_label)
+    return jnp.where(valid, best_label, jnp.zeros_like(best_label))
+
+
+def sample_warp_image_label(
+    image0: jnp.ndarray, label: jnp.ndarray, coords: jnp.ndarray
+):
+    """Fused warp of one image channel (trilinear) + integer label
+    (majority) through the same coordinates with HALF the gather traffic.
+
+    TPU gathers cost ~12 ns/element, so the warp is fetch-bound; packing
+    ``label*2^16 + round(image/peak*65535)`` into one f32 (exact for
+    integers < 2^24) lets one 8-corner fetch serve both samplers.  Image
+    values are peak-scaled 16-bit quantized (relative error 1.5e-5) and
+    labels must be < 256 — callers fall back to separate sampling
+    otherwise.  Returns (image', label').
+    """
+    peak = jnp.maximum(jnp.max(image0), 1e-12)
+    img16 = jnp.round(jnp.clip(image0 / peak, 0.0, 1.0) * 65535.0)
+    packed = jnp.round(label) * 65536.0 + img16
+
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    d, h, w = packed.shape
+    valid = (
+        (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1) & (z >= 0) & (z <= d - 1)
+    )
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    fx, fy, fz = x - x0, y - y0, z - z0
+
+    labels, weights, imgs = [], [], []
+    for dz in (0, 1):
+        wz = (1 - fz) if dz == 0 else fz
+        for dy in (0, 1):
+            wy = (1 - fy) if dy == 0 else fy
+            for dx in (0, 1):
+                wx = (1 - fx) if dx == 0 else fx
+                v = _gather_dhw(packed, z0 + dz, y0 + dy, x0 + dx)
+                lab = jnp.floor(v * (1.0 / 65536.0))
+                imgs.append(v - lab * 65536.0)
+                labels.append(lab)
+                weights.append((wz * wy * wx).astype(jnp.float32))
+
+    out_img = sum(wgt * img for wgt, img in zip(weights, imgs)) * (
+        peak / 65535.0
+    )
+    best_label = labels[0]
+    best_score = None
+    for c in range(8):
+        score = weights[0] * (labels[0] == labels[c])
+        for j in range(1, 8):
+            score = score + weights[j] * (labels[j] == labels[c])
+        if best_score is None:
+            best_score = score
+        else:
+            better = score > best_score
+            best_score = jnp.where(better, score, best_score)
+            best_label = jnp.where(better, labels[c], best_label)
+    vf = valid.astype(jnp.float32)
+    return out_img * vf, best_label * vf
 
 
 # ---------------------------------------------------------------------------
