@@ -18,8 +18,19 @@ import numpy as np
 
 
 def main() -> int:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/jax_comp_cache"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from unet_studio_tpu.models.dsl import default_architecture
     from unet_studio_tpu.models.unet3d import UNet3d, forward
@@ -41,15 +52,23 @@ def main() -> int:
         np.random.default_rng(0).random((1, 192, 224, 192, 1), np.float32),
         jnp.bfloat16,
     )
-    # warmup/compile
-    label, fg = infer(params, x)
-    label.block_until_ready()
 
+    # time k inferences inside ONE jitted loop: on remote-execution
+    # backends block_until_ready is unreliable and per-call dispatch adds
+    # tens of ms, so the loop runs on device and we sync once via a D2H
+    # fetch of a scalar that depends on every iteration.
     n_iters = 10
+
+    @jax.jit
+    def timed_loop(params, x):
+        def body(i, acc):
+            label, fg = infer(params, x + acc.astype(x.dtype))
+            return acc + fg.ravel()[0]
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
+
+    _ = float(timed_loop(params, x))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        label, fg = infer(params, x)
-    label.block_until_ready()
+    _ = float(timed_loop(params, x))  # device-bound, one sync
     dt = time.perf_counter() - t0
     vps = n_iters / dt
 

@@ -179,7 +179,10 @@ def build_train_step(
         ),
         out_specs=(P(), P(), P()),
     )
-    step_fn = jax.jit(sharded, donate_argnums=(0, 1))
+    # NOTE: no donate_argnums — buffer donation triggers per-call
+    # recompilation on the remote-compile (axon) backend (measured 60x
+    # slower steps); the extra params+momentum copy is ~270 MB.
+    step_fn = jax.jit(sharded)
 
     def valid_fn(params, img, lab):
         outs, _ = forward(spec, params, img, train=False, compute_dtype=cdt)
@@ -230,8 +233,13 @@ class TrainEngine:
             self.param.label_file_name,
             self.model.out_count,
         )
-        self._params = {k: jnp.asarray(v) for k, v in self.model.params.items()}
-        self.opt_state = init_opt_state(self._params)
+        # commit params/opt state to the mesh (replicated) up front so the
+        # first step compiles with the same shardings as every later step
+        rep = NamedSharding(self.mesh, P())
+        self._params = {
+            k: jax.device_put(jnp.asarray(v), rep) for k, v in self.model.params.items()
+        }
+        self.opt_state = jax.device_put(init_opt_state(self._params), rep)
         self._maybe_load_optimizer()
         # resume epoch derived from the error history (train.cpp:1005)
         self.cur_epoch = (len(self.model.testing_errors) // 3) % self.param.epoch

@@ -186,10 +186,28 @@ def _conv_lax(x, w, b, stride: int, ks: int):
 # because the 8x FLOP inflation outweighs the lane-utilization gain.
 
 _MAX_CHUNK_VOX = 1_100_000  # ~0.6 GiB padded transient per slab
+_CHUNKING_ENABLED = True
+
+
+class no_conv_chunking:
+    """Trace-time context disabling z-chunked convs — required when the z
+    axis is sharded over the mesh ``space`` axis (parallel/spatial.py):
+    slicing a sharded axis would force reshards, and sharding already
+    bounds the per-device transient."""
+
+    def __enter__(self):
+        global _CHUNKING_ENABLED
+        self._prev = _CHUNKING_ENABLED
+        _CHUNKING_ENABLED = False
+
+    def __exit__(self, *exc):
+        global _CHUNKING_ENABLED
+        _CHUNKING_ENABLED = self._prev
+        return False
 
 
 def _pick_chunks(d: int, voxels: int) -> int:
-    if voxels <= _MAX_CHUNK_VOX:
+    if voxels <= _MAX_CHUNK_VOX or not _CHUNKING_ENABLED:
         return 1
     need = -(-voxels // _MAX_CHUNK_VOX)
     for n in range(need, d + 1):

@@ -78,7 +78,7 @@ def cc3d_label(mask: np.ndarray):
     m = np.ascontiguousarray(mask.astype(np.uint8))
     d, h, w = m.shape
     labels = np.zeros(m.shape, np.int32)
-    max_components = max(1024, int(m.sum()) // 2 + 2)
+    max_components = int(m.sum()) + 1  # exact upper bound: 1 voxel/component
     counts = np.zeros(max_components + 1, np.int64)
     n = lib.cc3d_label(
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
