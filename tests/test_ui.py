@@ -1,0 +1,101 @@
+"""Web UI smoke tests: PNG codec, slice rendering, live server endpoints."""
+
+import json
+import threading
+import urllib.request
+import zlib
+
+import numpy as np
+import pytest
+
+from unet_studio_tpu.ui.png import encode_png, render_slice
+
+
+class TestPng:
+    def test_grayscale_png_valid(self, rng):
+        img = (rng.random((20, 30)) * 255).astype(np.uint8)
+        data = encode_png(img)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        # decode IDAT and verify scanlines
+        idat_at = data.find(b"IDAT")
+        length = int.from_bytes(data[idat_at - 4 : idat_at], "big")
+        raw = zlib.decompress(data[idat_at + 4 : idat_at + 4 + length])
+        assert len(raw) == 20 * (30 + 1)
+        rows = np.frombuffer(raw, np.uint8).reshape(20, 31)
+        assert (rows[:, 0] == 0).all()  # filter byte
+        np.testing.assert_array_equal(rows[:, 1:], img)
+
+    def test_rgb_and_overlay(self, rng):
+        img = rng.random((16, 16)).astype(np.float32)
+        lab = np.zeros((16, 16), np.int32)
+        lab[4:8, 4:8] = 1
+        png = render_slice(img, lab)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        with pytest.raises(ValueError):
+            encode_png(np.zeros((4, 4, 2), np.uint8))
+
+
+class TestServer:
+    @pytest.fixture(scope="class")
+    def server_url(self):
+        from http.server import ThreadingHTTPServer
+
+        from unet_studio_tpu.ui.server import AppState, make_handler
+
+        state = AppState()
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def test_index(self, server_url):
+        html = urllib.request.urlopen(server_url + "/").read().decode()
+        assert "UNet Studio" in html and "Evaluate" in html
+
+    def test_assets(self, server_url):
+        j = json.loads(urllib.request.urlopen(server_url + "/api/assets").read())
+        assert "zoo" in j and "templates" in j
+
+    def test_console_endpoint(self, server_url):
+        j = json.loads(urllib.request.urlopen(server_url + "/api/console").read())
+        assert "lines" in j
+
+    def test_eval_flow(self, server_url, tmp_path, rng):
+        from unet_studio_tpu.io.nifti import write_nifti
+        from unet_studio_tpu.models.serialize import save_model
+        from unet_studio_tpu.models.unet3d import UNet3d
+
+        arch = "\n".join(
+            [
+                "conv8,ks3,stride1+norm,leaky_relu",
+                "conv16,ks3,stride2+norm,leaky_relu",
+                "conv16,ks3,stride2+norm,leaky_relu+conv_trans16,ks2,stride2",
+                "conv16,ks3,stride1+norm,leaky_relu+conv3,ks1,stride1+conv_trans8,ks2,stride2",
+                "conv8,ks3,stride1+norm,leaky_relu+conv3,ks1,stride1",
+            ]
+        )
+        m = UNet3d.create(1, 3, arch, seed=0)
+        m.dim = (16, 16, 16)
+        mp = str(tmp_path / "m.nz")
+        save_model(mp, m, sloped=False)
+        src = str(tmp_path / "img.nii.gz")
+        write_nifti(src, rng.random((16, 16, 16)).astype(np.float32))
+
+        def post(path, body):
+            req = urllib.request.Request(
+                server_url + path, data=json.dumps(body).encode(), method="POST"
+            )
+            return json.loads(urllib.request.urlopen(req).read())
+
+        j = post("/api/model/load", {"path": mp})
+        assert j["out_count"] == 3
+        j = post("/api/eval/run", {"source": src})
+        assert j["dims"] == [16, 16, 16]
+        png = urllib.request.urlopen(
+            server_url + "/api/eval/slice?axis=0&index=8&overlay=1&view=input"
+        ).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        out = str(tmp_path / "out.nii.gz")
+        j = post("/api/eval/save", {"path": out, "output_type": 0})
+        assert j["saved"] == out

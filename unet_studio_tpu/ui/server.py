@@ -1,0 +1,342 @@
+"""Web UI — the functional analog of the reference's Qt GUI (SURVEY.md §2.8).
+
+Serves a single-page app with the capability surface of the two Qt tabs:
+
+* Evaluate: load a model (zoo or path) + image, run inference, browse the
+  three orthogonal slice views with label overlay and contrast control,
+  save any of the 4 output types.
+* Train: point at a BIDS folder, set hyperparameters, start/stop a
+  training run (background thread over the device mesh), watch the live
+  error chart, preview the augmented sample stream with a seed slider.
+* Console: the captured log ring buffer (console.cpp analog).
+
+Run: ``python -m unet_studio_tpu.ui`` (or ``unet-studio-tpu-ui``).
+No external dependencies: stdlib http.server + a minimal PNG encoder.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+import traceback
+from contextlib import redirect_stderr, redirect_stdout
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..utils.assets import find_asset_root, scan_templates, zoo_models
+from .png import render_slice
+
+
+class _Log:
+    """stdout/stderr capture ring buffer (console.h:10-33 analog)."""
+
+    def __init__(self, limit: int = 2000):
+        self.lines: list[str] = []
+        self.limit = limit
+        self._lock = threading.Lock()
+
+    def write(self, text: str):
+        with self._lock:
+            for ln in text.split("\n"):
+                if ln.strip():
+                    self.lines.append(ln)
+            del self.lines[: -self.limit]
+        return len(text)
+
+    def flush(self):
+        pass
+
+    def tail(self, n: int = 200):
+        with self._lock:
+            return self.lines[-n:]
+
+
+class AppState:
+    def __init__(self, asset_root: str | None = None):
+        self.log = _Log()
+        self.asset_root = find_asset_root(asset_root)
+        self.model = None
+        self.model_path = ""
+        self.eval_engine = None
+        self.case = None  # current EvalCase
+        self.train_engine = None
+        self.train_thread: threading.Thread | None = None
+        self.train_pair = None  # (image, label) for aug preview
+        self.lock = threading.Lock()
+
+    # ---------------- evaluate ----------------
+
+    def load_model(self, path: str) -> dict:
+        from ..models.serialize import load_model
+
+        self.model = load_model(path)
+        self.model_path = path
+        self.eval_engine = None
+        return {
+            "path": path,
+            "in_count": self.model.in_count,
+            "out_count": self.model.out_count,
+            "dim": list(self.model.dim),
+            "voxel_size": [float(v) for v in self.model.voxel_size],
+            "info": self.model.get_info(),
+        }
+
+    def evaluate(self, source: str) -> dict:
+        from ..engine.evaluate import EvaluateEngine
+
+        if self.model is None:
+            raise RuntimeError("load a model first")
+        if self.eval_engine is None:
+            self.eval_engine = EvaluateEngine(self.model)
+        case = self.eval_engine.preprocess(source)
+        if case.error_msg:
+            raise RuntimeError(case.error_msg)
+        self.eval_engine.infer(case)
+        self.eval_engine.postprocess(case)
+        self.case = case
+        return {"dims": list(case.image_dim), "path": case.path}
+
+    def eval_slice(self, axis: int, index: int, overlay: int, view: str) -> bytes:
+        case = self.case
+        if case is None:
+            raise RuntimeError("no evaluated case")
+        if view == "fg":
+            vol = case.fg_prob
+        elif view == "input":
+            from ..io.nifti import canonicalize_lps, read_nifti
+
+            vol = canonicalize_lps(read_nifti(case.path)).data.astype(np.float32)
+            if vol.ndim == 4:
+                vol = vol[0]
+            vol = vol / max(vol.max(), 1e-9)
+        else:
+            vol = case.fg_prob
+        lab = case.label if overlay else None
+        index = int(np.clip(index, 0, vol.shape[axis] - 1))
+        sl = np.take(vol, index, axis=axis)
+        lsl = None if lab is None else np.take(lab, index, axis=axis)
+        return render_slice(sl, lsl)
+
+    def save_result(self, out_path: str, output_type: int) -> dict:
+        if self.case is None or self.eval_engine is None:
+            raise RuntimeError("no evaluated case")
+        ok = self.eval_engine.save_case(self.case, out_path, output_type)
+        if not ok:
+            raise RuntimeError("save failed")
+        return {"saved": out_path}
+
+    # ---------------- train ----------------
+
+    def start_training(self, cfg: dict) -> dict:
+        import jax
+
+        from ..data.bids import get_bids_pairs
+        from ..engine.train import TrainEngine, TrainParam
+        from ..models.dsl import default_architecture
+        from ..models.serialize import load_model
+        from ..models.unet3d import UNet3d, round_up_size
+        from ..io.nifti import read_nifti
+        from ..ops.augment import AugOptions
+        from ..parallel.mesh import make_mesh
+
+        if self.train_engine is not None and not self.train_engine.aborted:
+            raise RuntimeError("training already running")
+        images, labels = get_bids_pairs(cfg["bids"])
+        model_path = cfg.get("model", "trained_model.nz")
+        if not model_path.endswith("nz"):
+            model_path += ".nz"
+        if os.path.exists(model_path):
+            model = load_model(model_path)
+        else:
+            lbl = read_nifti(labels[0])
+            img = read_nifti(images[0])
+            out_count = int(np.max(lbl.data)) + 1
+            model = UNet3d.create(1, out_count, default_architecture(out_count))
+            model.dim = round_up_size(img.shape_xyz, 32)
+            model.voxel_size = np.asarray(img.voxel_size, np.float32)
+        batch = int(cfg.get("batch_size", 8))
+        n_dev = min(len(jax.devices()), batch)
+        while batch % n_dev:
+            n_dev -= 1
+        param = TrainParam(
+            image_file_name=images,
+            label_file_name=labels,
+            batch_size=batch,
+            epoch=int(cfg.get("epoch", 10000)),
+            learning_rate=float(cfg.get("learning_rate", 1e-3)),
+            seed=int(cfg.get("seed", 0)),
+            options=AugOptions.from_dict(cfg.get("options", {})),
+        )
+        engine = TrainEngine(
+            model, param, mesh=make_mesh(n_data=n_dev), model_path=model_path
+        )
+        self.train_engine = engine
+
+        def run():
+            try:
+                with redirect_stdout(self.log), redirect_stderr(self.log):
+                    engine.start()
+                    if not engine.error_msg:
+                        engine.run(chart=True)
+            except Exception:  # noqa: BLE001
+                self.log.write(traceback.format_exc())
+                engine.error_msg = engine.error_msg or "training crashed (see console)"
+
+        self.train_thread = threading.Thread(target=run, daemon=True)
+        self.train_thread.start()
+        return {"pairs": len(images), "model": model_path, "devices": n_dev}
+
+    def train_status(self) -> dict:
+        e = self.train_engine
+        if e is None:
+            return {"running": False}
+        return {
+            "running": not e.aborted,
+            "epoch": e.cur_epoch,
+            "total_epochs": e.param.epoch,
+            "status": e.get_status(),
+            "error_msg": e.error_msg,
+            "training_errors": e.model.training_errors[-3000:],
+            "testing_errors": e.model.testing_errors[-3000:],
+        }
+
+    def stop_training(self) -> dict:
+        if self.train_engine is not None:
+            self.train_engine.stop()
+        return {"stopped": True}
+
+    def aug_preview(self, seed: int, axis: int) -> bytes:
+        """Re-run simulate_modality + augmentation with a chosen seed on the
+        first training pair (mainwindow_training.cpp:571-625 analog)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.augment import visual_perception_augmentation
+        from ..ops.simulate import simulate_modality_template
+
+        e = self.train_engine
+        if e is None or e.dataset is None:
+            raise RuntimeError("start (or configure) training first")
+        img, lab = e._load_item(e.dataset.template_indices[0] if e.dataset.template_indices else 0)
+        key = jax.random.fold_in(jax.random.key(e.param.seed), int(seed))
+        k1, k2 = jax.random.split(key)
+        sim = simulate_modality_template(
+            jnp.asarray(img), jnp.asarray(lab), e.model.out_count, k1
+        )
+        aug_img, aug_lab = visual_perception_augmentation(
+            sim[..., None], jnp.asarray(lab), k2, e.param.options, e.param.is_label
+        )
+        vol = np.asarray(aug_img)[..., 0]
+        lvol = np.asarray(aug_lab)
+        idx = vol.shape[axis] // 2
+        return render_slice(
+            np.take(vol, idx, axis=axis), np.take(lvol, idx, axis=axis)
+        )
+
+
+def _html() -> str:
+    path = os.path.join(os.path.dirname(__file__), "app.html")
+    with open(path) as f:
+        return f.read()
+
+
+def make_handler(state: AppState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj, code=200):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            try:
+                u = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                if u.path in ("/", "/index.html"):
+                    self._send(200, _html().encode(), "text/html")
+                elif u.path == "/api/assets":
+                    root = state.asset_root
+                    seg, atlases = scan_templates(root)
+                    self._json(
+                        {
+                            "zoo": zoo_models(root),
+                            "templates": seg,
+                            "atlases": atlases,
+                        }
+                    )
+                elif u.path == "/api/eval/slice":
+                    png = state.eval_slice(
+                        int(q.get("axis", 0)),
+                        int(q.get("index", 0)),
+                        int(q.get("overlay", 1)),
+                        q.get("view", "input"),
+                    )
+                    self._send(200, png, "image/png")
+                elif u.path == "/api/train/status":
+                    self._json(state.train_status())
+                elif u.path == "/api/aug/preview":
+                    png = state.aug_preview(int(q.get("seed", 0)), int(q.get("axis", 0)))
+                    self._send(200, png, "image/png")
+                elif u.path == "/api/console":
+                    self._json({"lines": state.log.tail(int(q.get("n", 200)))})
+                else:
+                    self._json({"error": "not found"}, 404)
+            except Exception as e:  # noqa: BLE001
+                self._json({"error": str(e)}, 500)
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                u = urlparse(self.path)
+                if u.path == "/api/model/load":
+                    self._json(state.load_model(body["path"]))
+                elif u.path == "/api/eval/run":
+                    self._json(state.evaluate(body["source"]))
+                elif u.path == "/api/eval/save":
+                    self._json(
+                        state.save_result(body["path"], int(body.get("output_type", 0)))
+                    )
+                elif u.path == "/api/train/start":
+                    self._json(state.start_training(body))
+                elif u.path == "/api/train/stop":
+                    self._json(state.stop_training())
+                else:
+                    self._json({"error": "not found"}, 404)
+            except Exception as e:  # noqa: BLE001
+                self._json({"error": str(e)}, 500)
+
+    return Handler
+
+
+def serve(host: str = "127.0.0.1", port: int = 8642, asset_root: str | None = None):
+    state = AppState(asset_root)
+    server = ThreadingHTTPServer((host, port), make_handler(state))
+    print(f"unet-studio-tpu UI at http://{host}:{server.server_address[1]}/")
+    server.serve_forever()
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8642)
+    p.add_argument("--asset_root", default=None)
+    a = p.parse_args()
+    serve(a.host, a.port, a.asset_root)
+
+
+if __name__ == "__main__":
+    main()
