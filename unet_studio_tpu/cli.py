@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--atlas", default=None)
     p.add_argument("--output_type", type=int, default=0)
     p.add_argument("--asset_root", default=None, help="dir containing atlas/ and unet/")
+    p.add_argument("--session", default=None, help="load a training session JSON")
+    p.add_argument("--save_session", default=None, help="write the training session JSON")
+    p.add_argument("--mosaic", default=None, help="evaluate: also export a PNG slice mosaic")
     p.add_argument("--data_parallel", type=int, default=None,
                    help="number of devices on the data mesh axis (default: all)")
     p.add_argument("--compute_dtype", default="bfloat16",
@@ -91,10 +94,25 @@ def cmd_train(args) -> int:
     from .ops.augment import AugOptions
     from .parallel.mesh import make_mesh
 
-    if not args.bids:
+    if args.session:
+        from .config.session import load_session
+
+        sess = load_session(args.session)
+        args.bids = args.bids or None
+        images, labels = sess["images"], sess["labels"]
+        args.model = sess.get("model_path", args.model)
+        args.batch_size = sess.get("batch_size", args.batch_size)
+        args.learning_rate = sess.get("learning_rate", args.learning_rate)
+        args.epoch = sess.get("epoch", args.epoch)
+        args.seed = sess.get("seed", args.seed)
+        for k, v in sess.get("options", {}).items():
+            if getattr(args, k, None) is None:
+                setattr(args, k, v)
+    elif not args.bids:
         print("error: please specify --bids", file=sys.stderr)
         return 1
-    images, labels = get_bids_pairs(args.bids)
+    else:
+        images, labels = get_bids_pairs(args.bids)
     print(f"{len(images)} matched pairs")
 
     if args.file_list:
@@ -147,6 +165,22 @@ def cmd_train(args) -> int:
         n_dev -= 1
     mesh = make_mesh(n_data=n_dev)
     print(f"device mesh: {n_dev} x data ({jax.devices()[0].platform})")
+
+    if args.save_session:
+        from .config.session import save_session
+
+        save_session(
+            args.save_session,
+            images=images,
+            labels=labels,
+            model_path=model_path,
+            batch_size=param.batch_size,
+            learning_rate=param.learning_rate,
+            epoch=param.epoch,
+            is_label=param.is_label,
+            seed=param.seed,
+            options=opts,
+        )
 
     engine = TrainEngine(model, param, mesh=mesh, model_path=model_path)
     engine.start()
@@ -216,6 +250,15 @@ def cmd_evaluate(args) -> int:
         if not engine.save_case(case, out, args.output_type):
             print(f"error: cannot save {out}", file=sys.stderr)
             return 1
+        if args.mosaic:
+            from .io.nifti import canonicalize_lps, read_nifti
+            from .utils.mosaic import save_mosaic_png
+
+            vol = canonicalize_lps(read_nifti(case.path)).data.astype(float)
+            if vol.ndim == 4:
+                vol = vol[0]
+            save_mosaic_png(args.mosaic, vol, case.label)
+            print(f"mosaic saved to {args.mosaic}")
     return 0
 
 
@@ -248,6 +291,12 @@ def cmd_qc(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # boot-time accelerator probe + self-test (check_cuda analog, main.cpp:93-102)
+    from .utils.device import check_tpu
+
+    err = check_tpu()
+    if err:
+        print(f"warning: {err}", file=sys.stderr)
     if args.action == "train":
         return cmd_train(args)
     if args.action == "evaluate":
