@@ -578,6 +578,17 @@ def forward(
     x = x.astype(compute_dtype)
     new_state: dict = {}
 
+    if not train:
+        # conv z-chunking exists to bound BACKWARD transients; forward-only
+        # fits HBM comfortably and runs ~25% faster unchunked
+        import contextlib
+
+        ctx = no_conv_chunking()
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+
     def seq(mod_name, layers, x):
         def body(x):
             return _run_sequential(params, state, mod_name, layers, x, train)
@@ -588,24 +599,25 @@ def forward(
         new_state.update(s)
         return y
 
-    n_enc = len(spec.encoders)
-    skips = []
-    for level in range(n_enc):
-        x = seq(f"encode{level}", spec.encoders[level], x)
-        if level < n_enc - 1:
-            skips.append(x)
+    with ctx:
+        n_enc = len(spec.encoders)
+        skips = []
+        for level in range(n_enc):
+            x = seq(f"encode{level}", spec.encoders[level], x)
+            if level < n_enc - 1:
+                skips.append(x)
 
-    results: list = [None] * len(spec.decoders)
-    for level in range(n_enc - 2, -1, -1):
-        x = jnp.concatenate([skips[level], x], axis=-1)
-        skips[level] = None
-        x = seq(f"decode{level}", spec.decoders[level], x)
-        if spec.heads[level]:
-            results[level] = seq(f"output{level}", spec.heads[level], x).astype(
-                jnp.float32
-            )
-        if spec.tails[level]:
-            x = seq(f"decode_tail{level}", spec.tails[level], x)
+        results: list = [None] * len(spec.decoders)
+        for level in range(n_enc - 2, -1, -1):
+            x = jnp.concatenate([skips[level], x], axis=-1)
+            skips[level] = None
+            x = seq(f"decode{level}", spec.decoders[level], x)
+            if spec.heads[level]:
+                results[level] = seq(f"output{level}", spec.heads[level], x).astype(
+                    jnp.float32
+                )
+            if spec.tails[level]:
+                x = seq(f"decode_tail{level}", spec.tails[level], x)
 
     return results, new_state
 
