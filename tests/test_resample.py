@@ -1,0 +1,102 @@
+"""Resampling math tests: model-grid transform (align_top), warp samplers,
+fused packed sampler, scale round-trips."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from unet_studio_tpu.ops.resample import (
+    affine_matrix,
+    apply_affine,
+    meshgrid_xyz,
+    model_grid_transform,
+    normalize01,
+    resample_to_model_grid,
+    sample_linear,
+    sample_majority,
+    sample_warp_image_label,
+    scale_to_shape,
+)
+
+
+def test_model_grid_transform_align_top():
+    """The z translation must match the reference formula
+    0.5*((Di-1)*vi - (Dm-1)*vm) in mm (train.cpp:27)."""
+    img_xyz, img_vs = (256, 256, 180), (0.9, 0.9, 1.2)
+    mdl_xyz, mdl_vs = (192, 224, 192), (1.0, 1.0, 1.0)
+    m = model_grid_transform(img_xyz, img_vs, mdl_xyz, mdl_vs)
+    # scale = vs_model / vs_image
+    np.testing.assert_allclose(np.diag(m[:, :3]), [1 / 0.9, 1 / 0.9, 1 / 1.2], rtol=1e-5)
+    t_mm = 0.5 * ((np.array(img_xyz) - 1) * img_vs - (np.array(mdl_xyz) - 1) * np.array(mdl_vs))
+    np.testing.assert_allclose(m[:, 3], t_mm / img_vs, rtol=1e-5)
+    # center voxel of the model grid maps to the center of the image in x/y
+    center_m = (np.array(mdl_xyz) - 1) / 2.0
+    mapped = m[:, :3] @ center_m + m[:, 3]
+    np.testing.assert_allclose(mapped[:2], (np.array(img_xyz[:2]) - 1) / 2.0, rtol=1e-5)
+
+
+def test_sample_linear_identity_and_shift(rng):
+    vol = jnp.asarray(rng.standard_normal((6, 7, 8)).astype(np.float32))
+    grid = meshgrid_xyz((6, 7, 8))
+    np.testing.assert_allclose(np.asarray(sample_linear(vol, grid)), np.asarray(vol), atol=1e-6)
+    # half-voxel x shift == average of neighbors
+    shifted = sample_linear(vol, grid + jnp.asarray([0.5, 0, 0]))
+    manual = 0.5 * (np.asarray(vol)[:, :, :-1] + np.asarray(vol)[:, :, 1:])
+    np.testing.assert_allclose(np.asarray(shifted)[:, :, :-1], manual, atol=1e-5)
+    # out of range -> 0
+    out = sample_linear(vol, grid + jnp.asarray([100.0, 0, 0]))
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_sample_majority_prefers_dominant_corner(rng):
+    vol = jnp.asarray((rng.random((6, 6, 6)) * 4).astype(np.float32) // 1)
+    grid = meshgrid_xyz((6, 6, 6))
+    np.testing.assert_array_equal(
+        np.asarray(sample_majority(vol, grid)), np.asarray(vol)
+    )
+    # at an exact half-way point between equal labels, the result is one of
+    # the corner labels
+    out = np.asarray(sample_majority(vol, grid + jnp.asarray([0.5, 0.5, 0.5])))
+    corners = np.stack([
+        np.asarray(vol)[a:a+5, b:b+5, c:c+5]
+        for a in (0, 1) for b in (0, 1) for c in (0, 1)
+    ])
+    assert ((out[:5, :5, :5][None] == corners).any(0)).all()
+
+
+def test_packed_sampler_matches_separate(rng):
+    img = rng.random((8, 9, 10)).astype(np.float32) * 2.5
+    lab = (rng.random((8, 9, 10)) * 5).astype(np.float32) // 1
+    coords = jnp.asarray(rng.random((8, 9, 10, 3)).astype(np.float32) * 8)
+    pi, pl = sample_warp_image_label(jnp.asarray(img), jnp.asarray(lab), coords)
+    ri = sample_linear(jnp.asarray(img), coords)
+    rl = sample_majority(jnp.asarray(lab), coords)
+    np.testing.assert_allclose(np.asarray(pi), np.asarray(ri), atol=2.5 * 2e-4)
+    assert (np.asarray(pl) == np.asarray(rl)).mean() > 0.999
+
+
+def test_scale_roundtrip_identity(rng):
+    vol = jnp.asarray(rng.standard_normal((8, 8, 8)).astype(np.float32))
+    same = scale_to_shape(vol, (8, 8, 8))
+    np.testing.assert_allclose(np.asarray(same), np.asarray(vol), atol=1e-5)
+
+
+def test_resample_to_model_grid_same_grid(rng):
+    vol = jnp.asarray(rng.random((16, 16, 16)).astype(np.float32))
+    out = resample_to_model_grid(vol, (1, 1, 1), (16, 16, 16), (1, 1, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-5)
+
+
+def test_affine_matrix_rotation_preserves_center():
+    m = affine_matrix(rotation=(0.3, -0.2, 0.5), shape_dhw=(16, 20, 24))
+    center = jnp.asarray([(24 - 1) / 2, (20 - 1) / 2, (16 - 1) / 2])
+    out = apply_affine(center[None], m)[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(center), atol=1e-4)
+
+
+def test_normalize01():
+    v = jnp.asarray([0.0, 2.0, 4.0])
+    np.testing.assert_allclose(np.asarray(normalize01(v)), [0, 0.5, 1.0])
+    z = jnp.zeros(3)
+    np.testing.assert_array_equal(np.asarray(normalize01(z)), 0.0)

@@ -70,7 +70,9 @@ class NiftiImage:
 
 def _open(path: str, mode: str):
     if str(path).endswith(".gz"):
-        return gzip.open(path, mode)
+        # compresslevel 6: gzip's default 9 is several times slower for a
+        # few percent size on typical volumes
+        return gzip.open(path, mode, compresslevel=6) if "w" in mode else gzip.open(path, mode)
     return open(path, mode)
 
 
