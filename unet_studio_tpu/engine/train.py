@@ -214,6 +214,7 @@ class TrainEngine:
         self.cur_epoch = 0
         self.dataset: TrainingDataset | None = None
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._batch_cache: tuple | None = None
         self._test_data: list[tuple[jnp.ndarray, jnp.ndarray]] = []
         self.opt_state = None
         self._step_fn = None
@@ -324,24 +325,40 @@ class TrainEngine:
             idx = ds.sample_index(rng, seed_id % b, b)
             if seed_id >= epoch * b:
                 ids.append((seed_id, idx))
-        images, labels, tmpl, shift, keys = [], [], [], [], []
         base_key = jax.random.key(self.param.seed)
-        for seed_id, read_id in ids:
+        keys = [jax.random.fold_in(base_key, seed_id) for seed_id, _ in ids]
+        sh = NamedSharding(self.mesh, P("data"))
+        keys_dev = jax.device_put(jnp.stack(keys), sh)
+
+        # template-heavy batches repeat the same volumes epoch after epoch
+        # (one-template training repeats the SAME batch every epoch): keep
+        # the device-resident batch and only refresh the RNG keys
+        ids_tuple = tuple(read_id for _, read_id in ids)
+        if self._batch_cache is not None and self._batch_cache[0] == ids_tuple:
+            images_d, labels_d, tmpl_d, shift_d = self._batch_cache[1]
+            return images_d, labels_d, tmpl_d, shift_d, keys_dev
+
+        images, labels, tmpl, shift = [], [], [], []
+        for _, read_id in ids:
             self.reading_status = f"reading {os.path.basename(ds.images[read_id])}"
             img, lab = self._load_item(read_id)
             images.append(img[..., None])
             labels.append(lab)
             tmpl.append(ds.is_template[read_id])
             shift.append(ds.need_shift[read_id])
-            keys.append(jax.random.fold_in(base_key, seed_id))
-        sh = NamedSharding(self.mesh, P("data"))
-        return (
+        batch = (
             jax.device_put(np.stack(images), sh),
             jax.device_put(np.stack(labels), sh),
             jax.device_put(np.asarray(tmpl), sh),
             jax.device_put(np.asarray(shift), sh),
-            jax.device_put(jnp.stack(keys), sh),
         )
+        # cache only when every item is a RAM-cached template (otherwise the
+        # device copy would pin arbitrary subject volumes)
+        if all(ds.is_template[r] for r in ids_tuple):
+            self._batch_cache = (ids_tuple, batch)
+        else:
+            self._batch_cache = None
+        return (*batch, keys_dev)
 
     def run_epoch(self) -> dict:
         e = self.cur_epoch
