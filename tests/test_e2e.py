@@ -135,6 +135,54 @@ def test_train_evaluate_qc_roundtrip(bids_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_mixed_template_subject_training(tmp_path):
+    """Templates + subjects: label shifting, subject-only training errors,
+    and the logsumexp class-collapse loss path (train.cpp:330-342,673-674)."""
+    d = tmp_path / "bids"
+    d.mkdir()
+    img, label = _phantom()
+    write_nifti(str(d / "tpl-A_T1w.nii.gz"), img, is_mni=True)
+    write_nifti(str(d / "tpl-A_dseg.nii.gz"), label.astype(np.int16), is_mni=True)
+    # subject: NOT MNI-flagged, single foreground class (max label 1)
+    write_nifti(str(d / "sub-01_T1w.nii.gz"), img * 0.8, is_mni=False)
+    write_nifti(
+        str(d / "sub-01_dseg.nii.gz"), (label > 0).astype(np.int16), is_mni=False
+    )
+    images, labels = get_bids_pairs(str(d))
+    assert len(images) == 2
+
+    # out_count must cover template classes (2) + shifted subject class
+    model = UNet3d.create(1, 5, ARCH.replace("conv3,ks1,stride1", "conv5,ks1,stride1"), seed=0)
+    model.dim = (16, 16, 16)
+    ds = TrainingDataset.scan(images, labels, model.out_count)
+    assert ds.has_subject_data
+    assert ds.max_template_label == 2
+    sub = ds.subject_indices[0]
+    assert ds.need_shift[sub]
+
+    param = TrainParam(
+        image_file_name=images,
+        label_file_name=labels,
+        batch_size=2,
+        epoch=2,
+        learning_rate=1e-3,
+        options=FAST_OPTS,
+        compute_dtype="float32",
+        remat=False,
+    )
+    eng = TrainEngine(model, param, mesh=make_mesh(n_data=2))
+    eng.start()
+    assert not eng.error_msg
+    info = eng.run_epoch()
+    assert all(np.isfinite(info["test"]))
+    # subject items exist -> training errors recorded from subjects only
+    assert len(model.training_errors) == 3
+    # subject label was shifted: classes {0 (bg->1 via image>0), 1, 3}
+    _, lab = eng._load_item(sub)
+    assert set(np.unique(lab)).issubset({0.0, 1.0, 3.0})
+
+
+@pytest.mark.slow
 def test_dryrun_multichip():
     import importlib.util
 
