@@ -1,8 +1,15 @@
-"""Benchmark: skull-strip inference throughput on the flagship model grid.
+"""Benchmark: skull-strip inference + one-template training throughput on
+the flagship model grid.
 
 Runs on whatever accelerator jax sees (the driver provides one real TPU
-chip).  Prints ONE JSON line:
+chip).  Prints one JSON line per metric:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N|null}
+
+Metrics (the two BASELINE.json judged axes):
+  * t1w_volumes_per_sec_skullstrip_infer_192x224x192 — jitted forward +
+    softmax/argmax postproc
+  * train_items_per_sec_per_chip — contrast sim + full visual-perception
+    augmentation + fwd/bwd + SGD step, all on device (train.cpp hot loop)
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is null;
 the driver's BENCH_r{N}.json history is the comparison across rounds.
@@ -80,7 +87,62 @@ def main() -> int:
                 "unit": "volumes/sec",
                 "vs_baseline": None,
             }
-        )
+        ),
+        flush=True,
+    )
+
+    # ---- one-template training throughput (items/sec/chip) ---------------
+    from unet_studio_tpu.engine.optimizer import init_opt_state
+    from unet_studio_tpu.engine.train import TrainParam, build_train_step
+    from unet_studio_tpu.parallel.mesh import make_mesh
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    B = 4  # accumulated via lax.scan; per-item cost is batch-invariant
+    mesh = make_mesh(n_data=1)
+    tparam = TrainParam(batch_size=B)
+    step_fn, _ = build_train_step(model, tparam, mesh)
+    rng = np.random.default_rng(1)
+    # commit EVERYTHING to the mesh up front: uncommitted params make the
+    # first post-warmup call recompile (ROUND1_NOTES finding 7), and numpy
+    # inputs would re-upload ~270 MB per call over the dev tunnel
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P("data"))
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(init_opt_state(params), rep)
+    img = jax.device_put(
+        np.clip(rng.random((B, 192, 224, 192, 1), np.float32), 0, 1), sh
+    )
+    lab = jax.device_put(
+        rng.integers(0, 4, (B, 192, 224, 192)).astype(np.float32), sh
+    )
+    tmpl = jax.device_put(np.ones(B, bool), sh)
+    shift = jax.device_put(np.zeros(B, bool), sh)
+    keys = jax.device_put(jax.random.split(jax.random.key(0), B), sh)
+    lr = 1e-3
+
+    p, o, m = step_fn(params, opt_state, img, lab, tmpl, shift, keys, lr)
+    _ = np.asarray(m)  # compile + warm, sync via D2H
+    p, o, m = step_fn(p, o, img, lab, tmpl, shift, keys, lr)
+    _ = np.asarray(m)  # second warmup: first call with committed outputs
+    n_steps = 2
+    t0 = time.perf_counter()
+    for _i in range(n_steps):
+        p, o, m = step_fn(p, o, img, lab, tmpl, shift, keys, lr)
+    _ = np.asarray(m)  # one sync; steps chain through param deps
+    dt = time.perf_counter() - t0
+    ips = n_steps * B / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_items_per_sec_per_chip",
+                "value": round(ips, 4),
+                "unit": "items/sec/chip",
+                "vs_baseline": None,
+            }
+        ),
+        flush=True,
     )
     return 0
 

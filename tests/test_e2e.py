@@ -99,10 +99,29 @@ def test_train_evaluate_qc_roundtrip(bids_dir, tmp_path):
     # save + resume: epoch cursor derives from the error history
     eng.sync_params_to_model()
     save_model(model_path, model, sloped=False)
+    eng._save_optimizer()
     model2 = load_model(model_path)
     eng2 = TrainEngine(model2, param, mesh=mesh, model_path=model_path)
     eng2.start()
     assert eng2.cur_epoch == 2
+
+    # optimizer-state resume correctness on the mesh: (train 2 + save +
+    # resume 2) must be BIT-identical to (train 4) — params and momentum
+    # (train.cpp:945-957)
+    eng.run_epoch()
+    eng.run_epoch()
+    eng2.run_epoch()
+    eng2.run_epoch()
+    for k in eng._params:
+        np.testing.assert_array_equal(
+            np.asarray(eng._params[k]), np.asarray(eng2._params[k]), err_msg=k
+        )
+    for k in eng.opt_state["momentum"]:
+        np.testing.assert_array_equal(
+            np.asarray(eng.opt_state["momentum"][k]),
+            np.asarray(eng2.opt_state["momentum"][k]),
+            err_msg=k,
+        )
 
     # deterministic stream replay: same seed + epoch -> same batch keys
     b1 = eng._assemble_batch(1)
@@ -110,6 +129,12 @@ def test_train_evaluate_qc_roundtrip(bids_dir, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.random.key_data(b1[4])), np.asarray(jax.random.key_data(b2[4]))
     )
+
+    # pause lifecycle: cooperative flag + status string (train.hpp:99)
+    eng.pause()
+    assert eng.paused and "paused" in eng.get_status()
+    eng.resume()
+    assert not eng.paused
 
     # evaluation end-to-end on the training image
     ev = EvaluateEngine(model2, compute_dtype=jnp.float32)

@@ -74,12 +74,7 @@ def resolve_model_path(args) -> str:
 
     root = find_asset_root(args.asset_root)
     zoo = os.path.join(root, "unet") if root else None
-    path = args.model
-    if not path.endswith("nz"):
-        path += ".nz"
-    if not os.path.exists(path) and zoo and os.path.exists(os.path.join(zoo, os.path.basename(path))):
-        return os.path.join(zoo, os.path.basename(path))
-    return path
+    return get_model_path(args.model, zoo)
 
 
 def cmd_train(args) -> int:

@@ -66,14 +66,33 @@ class TrainingDataset:
     template_indices: list[int] = field(default_factory=list)
     subject_indices: list[int] = field(default_factory=list)
     test_indices: list[int] = field(default_factory=list)
+    errors: dict[int, str] = field(default_factory=dict)
 
     @classmethod
-    def scan(cls, images: list[str], labels: list[str], out_count: int) -> "TrainingDataset":
+    def scan(
+        cls,
+        images: list[str],
+        labels: list[str],
+        out_count: int,
+        strict: bool = True,
+    ) -> "TrainingDataset":
+        """``strict=False`` records unreadable labels in ``ds.errors`` and
+        classifies them as non-template instead of raising — QC keeps going
+        past a bad pair (qc.cpp:305-315); training keeps the hard error."""
         ds = cls(images=list(images), labels=list(labels))
         info: dict[str, tuple[bool, int]] = {}
+        failed: dict[str, str] = {}
         for lbl in labels:
-            if lbl not in info:
+            if lbl in info:
+                continue
+            try:
                 info[lbl] = read_label_info(lbl)
+            except Exception as e:  # noqa: BLE001
+                if strict:
+                    raise
+                info[lbl] = (False, 0)
+                failed[lbl] = str(e)
+        ds.errors = {i: failed[lbl] for i, lbl in enumerate(labels) if lbl in failed}
         max_template_label = 0
         for i, lbl in enumerate(labels):
             is_template, max_label = info[lbl]

@@ -81,37 +81,51 @@ def run_qc(
 ) -> list[QcCase]:
     if model.out_count < 2:
         raise ValueError("QC requires a categorical model")
-    ds = TrainingDataset.scan(images, labels, model.out_count)
+    from concurrent.futures import ThreadPoolExecutor
+
+    ds = TrainingDataset.scan(images, labels, model.out_count, strict=False)
     fns: dict[int, tuple] = {}
     cases: list[QcCase] = []
-    for i in range(len(images)):
-        collapse = ds.max_template_label + 1 if ds.need_shift[i] else 0
-        case = QcCase(image=images[i], label=labels[i])
-        case.unavailable_before = collapse
-        try:
-            img, lab = load_pair_on_model_grid(
-                images[i], labels[i], model.dim, model.voxel_size
-            )
-            if ds.need_shift[i]:
-                lab = shift_subject_label(img, lab, ds.max_template_label)
-            if collapse not in fns:
-                fns[collapse] = _qc_fn(model, collapse, compute_dtype)
-            run, raw_c = fns[collapse]
-            packed = np.asarray(run(jnp.asarray(img[..., None]), jnp.asarray(lab)))
-            c = packed.shape[1] - 1
-            case.stats = [QcStat() for _ in range(raw_c)]
-            for ci in range(c):
-                stat = QcStat(int(packed[0, ci]), int(packed[1, ci]))
-                case.overall.voxels += stat.voxels
-                case.overall.wrong += stat.wrong
-                if not collapse:
-                    case.stats[ci] = stat
-                elif ci:
-                    case.stats[collapse + ci - 1] = stat
-        except Exception as e:  # noqa: BLE001
-            case.error = str(e)
-            raise
-        cases.append(case)
+
+    def _load(i):
+        if i in ds.errors:
+            raise ValueError(ds.errors[i])
+        img, lab = load_pair_on_model_grid(
+            images[i], labels[i], model.dim, model.voxel_size
+        )
+        if ds.need_shift[i]:
+            lab = shift_subject_label(img, lab, ds.max_template_label)
+        return img, lab
+
+    # host load/resample pipelined over 4 workers (qc.cpp:273); the device
+    # forward drains them in order
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [pool.submit(_load, i) for i in range(len(images))]
+        for i, fut in enumerate(futures):
+            collapse = ds.max_template_label + 1 if ds.need_shift[i] else 0
+            case = QcCase(image=images[i], label=labels[i])
+            case.unavailable_before = collapse
+            # a failing pair is recorded and skipped; the run and the TSV
+            # continue (qc.cpp:305-315)
+            try:
+                img, lab = fut.result()
+                if collapse not in fns:
+                    fns[collapse] = _qc_fn(model, collapse, compute_dtype)
+                run, raw_c = fns[collapse]
+                packed = np.asarray(run(jnp.asarray(img[..., None]), jnp.asarray(lab)))
+                c = packed.shape[1] - 1
+                case.stats = [QcStat() for _ in range(raw_c)]
+                for ci in range(c):
+                    stat = QcStat(int(packed[0, ci]), int(packed[1, ci]))
+                    case.overall.voxels += stat.voxels
+                    case.overall.wrong += stat.wrong
+                    if not collapse:
+                        case.stats[ci] = stat
+                    elif ci:
+                        case.stats[collapse + ci - 1] = stat
+            except Exception as e:  # noqa: BLE001
+                case.error = str(e)
+            cases.append(case)
 
     # atomic TSV write (qc.cpp:333-376)
     tmp = report_path + ".tmp"
@@ -121,6 +135,12 @@ def run_qc(
             out.write(f"\twrong_ratio{c}")
         out.write("\n")
         for case in cases:
+            if case.error:
+                out.write(
+                    f"{os.path.basename(case.image)}\t{os.path.basename(case.label)}\t"
+                    f"error: {case.error}\n"
+                )
+                continue
             out.write(
                 f"{os.path.basename(case.image)}\t{os.path.basename(case.label)}\t"
                 f"{case.overall.ratio():.9g}"

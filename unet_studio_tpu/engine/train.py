@@ -93,12 +93,18 @@ def build_train_step(
         """img (D,H,W,C) float, lab (D,H,W) float."""
         k_sim, k_aug = jax.random.split(key)
         if is_label:
-            sim_t = simulate_modality_template(img[..., 0], lab, n_classes, k_sim)
             if has_subjects:
-                sim_s = simulate_modality_subject(img[..., 0], k_sim)
-                x = jnp.where(is_template, sim_t, sim_s)
+                # lax.cond (not where) so mixed batches run ONE simulation
+                # per item, not both
+                x = jax.lax.cond(
+                    is_template,
+                    lambda: simulate_modality_template(
+                        img[..., 0], lab, n_classes, k_sim
+                    ),
+                    lambda: simulate_modality_subject(img[..., 0], k_sim),
+                )
             else:
-                x = sim_t
+                x = simulate_modality_template(img[..., 0], lab, n_classes, k_sim)
         else:
             x = simulate_modality_subject(img[..., 0], k_sim)
         aug_img, aug_lab = visual_perception_augmentation(
@@ -117,18 +123,21 @@ def build_train_step(
             if remat
             else deep_supervision_loss
         )
-        loss_plain, lvl0_plain = ds_loss(outs, target, n_classes, 0, *cost)
+        def _packed(collapse):
+            loss, lvl0 = ds_loss(outs, target, n_classes, collapse, *cost)
+            return loss, jnp.stack(lvl0)
+
         if any_shift:
-            loss_col, lvl0_col = ds_loss(
-                outs, target, n_classes, collapse_k, *cost
-            )
-            loss = jnp.where(need_shift, loss_col, loss_plain)
-            lvl0 = tuple(
-                jnp.where(need_shift, a, b) for a, b in zip(lvl0_col, lvl0_plain)
+            # lax.cond so each item evaluates ONE of the collapsed/plain
+            # 5-level loss pyramids (the where form ran both)
+            loss, lvl0 = jax.lax.cond(
+                need_shift,
+                lambda: _packed(collapse_k),
+                lambda: _packed(0),
             )
         else:
-            loss, lvl0 = loss_plain, lvl0_plain
-        return loss, jnp.stack(lvl0)
+            loss, lvl0 = _packed(0)
+        return loss, lvl0
 
     grad_fn = jax.grad(item_loss, has_aux=True)
 
@@ -209,6 +218,7 @@ class TrainEngine:
         self.model_path = model_path
         self.save_model_during_training = save_model_during_training
         self.aborted = False
+        self.paused = False  # cooperative pause flag (train.hpp:99)
         self.error_msg = ""
         self.reading_status = self.training_status = self.validation_status = "idle"
         self.cur_epoch = 0
@@ -220,6 +230,12 @@ class TrainEngine:
         self._step_fn = None
         self._valid_fn = None
         self._params = None
+        # incremental sample-stream RNG (fast-forwarded only on resume)
+        self._sample_rng: np.random.Generator | None = None
+        self._rng_pos = -1
+        # reader prefetch: epoch e+1's batch assembles while step e runs
+        self._prefetch: tuple | None = None
+        self._reader = None
 
     # ------------------------------------------------------------------ setup
 
@@ -259,14 +275,21 @@ class TrainEngine:
         opt_path = self.model_path + ".opt" if self.model_path else ""
         if opt_path and os.path.exists(opt_path):
             data = np.load(opt_path)
-            self.opt_state = {
-                "momentum": {
-                    k[len("momentum/") :]: jnp.asarray(v)
-                    for k, v in data.items()
-                    if k.startswith("momentum/")
+            # commit resumed state to the mesh (replicated) exactly like the
+            # fresh state — uncommitted arrays would force a first-step
+            # recompile (train.cpp:945-957 analog)
+            rep = NamedSharding(self.mesh, P())
+            self.opt_state = jax.device_put(
+                {
+                    "momentum": {
+                        k[len("momentum/") :]: jnp.asarray(v)
+                        for k, v in data.items()
+                        if k.startswith("momentum/")
+                    },
+                    "step": jnp.asarray(data["step"]),
                 },
-                "step": jnp.asarray(data["step"]),
-            }
+                rep,
+            )
 
     def _save_optimizer(self) -> None:
         if not self.model_path:
@@ -315,16 +338,29 @@ class TrainEngine:
 
     # ------------------------------------------------------------- epoch loop
 
-    def _assemble_batch(self, epoch: int):
-        """Replay the sample stream up to this epoch (train.cpp:391-399)."""
+    def _epoch_draws(self, epoch: int) -> list[tuple[int, int]]:
+        """(seed_id, read_id) picks for one epoch.  The RNG state persists
+        between consecutive epochs (O(batch) per call); only a resume or an
+        out-of-order request replays the stream from the seed
+        (train.cpp:391-399 determinism contract)."""
         ds = self.dataset
-        rng = np.random.default_rng(self.param.seed)
         b = self.param.batch_size
-        ids = []
-        for seed_id in range(epoch * b + b):
-            idx = ds.sample_index(rng, seed_id % b, b)
-            if seed_id >= epoch * b:
-                ids.append((seed_id, idx))
+        start = epoch * b
+        if self._sample_rng is None or self._rng_pos != start:
+            self._sample_rng = np.random.default_rng(self.param.seed)
+            for seed_id in range(start):
+                ds.sample_index(self._sample_rng, seed_id % b, b)
+            self._rng_pos = start
+        ids = [
+            (seed_id, ds.sample_index(self._sample_rng, seed_id % b, b))
+            for seed_id in range(start, start + b)
+        ]
+        self._rng_pos = start + b
+        return ids
+
+    def _assemble_batch(self, epoch: int):
+        ds = self.dataset
+        ids = self._epoch_draws(epoch)
         base_key = jax.random.key(self.param.seed)
         keys = [jax.random.fold_in(base_key, seed_id) for seed_id, _ in ids]
         sh = NamedSharding(self.mesh, P("data"))
@@ -360,27 +396,56 @@ class TrainEngine:
             self._batch_cache = None
         return (*batch, keys_dev)
 
+    def _get_batch(self, epoch: int):
+        """Prefetched batch if the reader thread built it, else assemble
+        synchronously (the reference's reader-thread overlap,
+        train.cpp:259-444)."""
+        if self._prefetch is not None:
+            pf_epoch, fut = self._prefetch
+            self._prefetch = None
+            if pf_epoch == epoch:
+                return fut.result()
+            fut.result()  # drain an out-of-order prefetch (e.g. after resume)
+        return self._assemble_batch(epoch)
+
+    def _submit_prefetch(self, epoch: int) -> None:
+        if epoch >= self.param.epoch:
+            return
+        if self._reader is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._reader = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="unet-reader"
+            )
+        self._prefetch = (epoch, self._reader.submit(self._assemble_batch, epoch))
+
     def run_epoch(self) -> dict:
         e = self.cur_epoch
         lr = float(poly_lr(self.param.learning_rate, e, self.param.epoch))
-        images, labels, tmpl, shift, keys = self._assemble_batch(e)
+        images, labels, tmpl, shift, keys = self._get_batch(e)
         self.training_status = "training"
         self._params, self.opt_state, metrics = self._step_fn(
             self._params, self.opt_state, images, labels, tmpl, shift, keys, lr
         )
+        # validation on the held-out templates (train.cpp:826-896): dispatch
+        # async, THEN kick the reader prefetch, THEN block on the results —
+        # the host assembles epoch e+1 while the device trains/validates
+        self.validation_status = "validating"
+        vals = [
+            self._valid_fn(self._params, img, lab) for img, lab in self._test_data
+        ]
+        self.cur_epoch += 1
+        self._submit_prefetch(self.cur_epoch)
         metrics = np.asarray(metrics)
         if metrics[3] > 0:
             errs = (metrics[:3] / metrics[3]).tolist()
             self.model.training_errors.extend(round(float(v), 6) for v in errs)
-        # validation on the held-out templates (train.cpp:826-896)
-        self.validation_status = "validating"
-        if self._test_data:
-            vals = np.zeros(3)
-            for img, lab in self._test_data:
-                vals += np.asarray(self._valid_fn(self._params, img, lab))
-            vals /= len(self._test_data)
-            self.model.testing_errors.extend(round(float(v), 6) for v in vals)
-        self.cur_epoch += 1
+        if vals:
+            acc = np.zeros(3)
+            for v in vals:
+                acc += np.asarray(v)
+            acc /= len(vals)
+            self.model.testing_errors.extend(round(float(v), 6) for v in acc)
         # autosave every 100 epochs (train.cpp:780-788)
         if (
             self.save_model_during_training
@@ -409,6 +474,10 @@ class TrainEngine:
         if chart:
             print("1" + " " * 50 + "0.1" + " " * 47 + "0.01")
         while self.cur_epoch < self.param.epoch and not self.aborted:
+            while self.paused and not self.aborted:
+                time.sleep(0.1)  # cooperative pause (train.hpp:99)
+            if self.aborted:
+                break
             info = self.run_epoch()
             if chart:
                 self._print_chart_row(info, start, start_epoch)
@@ -446,8 +515,25 @@ class TrainEngine:
             put(v, ch)
         print("".join(out) + f" {e}")
 
+    def pause(self) -> None:
+        """Cooperative pause: run() idles at the next epoch boundary
+        (reference polls `pause` at 100 ms, train.cpp:574)."""
+        self.paused = True
+
+    def resume(self) -> None:
+        self.paused = False
+
     def stop(self) -> None:
         self.aborted = True
+        self.paused = False
+        if self._reader is not None:
+            self._reader.shutdown(wait=False)
+            self._reader = None
+            self._prefetch = None
 
     def get_status(self) -> str:
-        return f"{self.reading_status}|{self.training_status}|{self.validation_status}"
+        state = "paused" if self.paused else self.training_status
+        return (
+            f"epoch {self.cur_epoch}/{self.param.epoch} "
+            f"{self.reading_status}|{state}|{self.validation_status}"
+        )
