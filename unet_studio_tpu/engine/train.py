@@ -187,6 +187,9 @@ def build_train_step(
             P(), P(), P("data"), P("data"), P("data"), P("data"), P("data"), P(),
         ),
         out_specs=(P(), P(), P()),
+        # pallas_call outputs carry no vma annotation; the specs above are
+        # the full truth anyway
+        check_vma=False,
     )
     # NOTE: no donate_argnums — buffer donation triggers per-call
     # recompilation on the remote-compile (axon) backend (measured 60x

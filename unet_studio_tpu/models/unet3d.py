@@ -29,6 +29,7 @@ Weight storage layouts (vs torch):
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field, replace
 from functools import partial
 
@@ -386,8 +387,51 @@ def _conv_cv_bwd(stride, ks, res, g):
 _conv_cv.defvjp(_conv_cv_fwd, _conv_cv_bwd)
 
 
+# Opt-in for now: the kernels beat XLA 2-4x in isolation (grad-checked on
+# hardware), but routed through the current 5D dataflow XLA wraps every
+# pallas_call in 8-16x lane-padded layout-conversion copies (measured: a
+# 4 GB copy per full-grid conv, inference 5.9 -> 4.3 vols/s, training
+# OOM).  The packed-dataflow forward (keeping (d, h*nb, 128) end to end)
+# flips this on by default once it lands.
+_PALLAS_CONV_ENABLED = os.environ.get("UNET_TPU_PALLAS", "") == "1"
+
+
+class no_pallas_conv:
+    """Trace-time context forcing the XLA conv path — required when the z
+    axis is sharded over the mesh ``space`` axis: the Pallas kernels pad
+    z locally, which would break cross-shard halos."""
+
+    def __enter__(self):
+        global _PALLAS_CONV_ENABLED
+        self._prev = _PALLAS_CONV_ENABLED
+        _PALLAS_CONV_ENABLED = False
+
+    def __exit__(self, *exc):
+        global _PALLAS_CONV_ENABLED
+        _PALLAS_CONV_ENABLED = self._prev
+        return False
+
+
+def _pallas_eligible(x, ci: int, co: int) -> bool:
+    if not _PALLAS_CONV_ENABLED or x.shape[0] != 1:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from ..ops import pallas_conv
+
+    n, d, h, wd, _ = x.shape
+    return pallas_conv.supported(ci, co, d, h, wd)
+
+
 def _conv(x, w, b, stride: int, ks: int):
     if ks == 3:
+        ci, co = w.shape[3], w.shape[4]
+        if stride == 1 and ci == co and _pallas_eligible(x, ci, co):
+            from ..ops import pallas_conv
+
+            # packed Pallas kernels: dense 128-lane HBM traffic instead of
+            # XLA's (128/C)x lane-padded conv I/O (ROUND1_NOTES finding 4)
+            return pallas_conv.conv3d_s1(x[0], w, b)[None]
         return _conv_cv(x, w, b, stride, ks)
     return _conv_lax(x, w, b, stride, ks)
 
@@ -526,6 +570,29 @@ def _act(x, act: str | None):
 def _run_sequential(params, state, mod_name, layers, x, train: bool):
     new_state = {}
     for i, layer in enumerate(layers):
+        if isinstance(x, tuple):
+            # decoder entry: (skip, upsampled) not yet concatenated.  When
+            # the first layer is a 2C->C ks3 s1 conv on Pallas-eligible
+            # halves, run it as two C->C packed convs summed — the skip
+            # concat is never materialized (unet.cpp:179-190 semantics).
+            a, bp = x
+            w = params.get(f"{mod_name}.{i}.w")
+            if (
+                layer.kind == "conv"
+                and layer.ks == 3
+                and layer.stride == 1
+                and w is not None
+                and a.shape[-1] == bp.shape[-1] == w.shape[4]
+                and _pallas_eligible(a, a.shape[-1], w.shape[4])
+            ):
+                from ..ops import pallas_conv
+
+                x = pallas_conv.conv3d_s1_dual(
+                    a[0], bp[0], w, params[f"{mod_name}.{i}.b"]
+                )[None]
+                x = _act(x, layer.act)
+                continue
+            x = jnp.concatenate([a, bp], axis=-1)
         if layer.kind == "conv":
             x = _conv(x, params[f"{mod_name}.{i}.w"], params[f"{mod_name}.{i}.b"], layer.stride, layer.ks)
         elif layer.kind == "conv_trans":
@@ -609,7 +676,9 @@ def forward(
 
         results: list = [None] * len(spec.decoders)
         for level in range(n_enc - 2, -1, -1):
-            x = jnp.concatenate([skips[level], x], axis=-1)
+            # pass the (skip, up) pair; _run_sequential concatenates unless
+            # the dual packed-conv path can consume the halves directly
+            x = (skips[level], x)
             skips[level] = None
             x = seq(f"decode{level}", spec.decoders[level], x)
             if spec.heads[level]:

@@ -3,33 +3,35 @@
 Why this exists: XLA's TPU conv pads the channel dimension to the 128-lane
 width, so a C-channel conv moves (128/C)x its real bytes through HBM —
 measured 128 of the 169 ms flagship forward (ROUND1_NOTES finding 4).
-These kernels keep the volume DENSE in HBM/VMEM by fusing the minor
-spatial axis with channels (lanes = W*C) and mapping the conv onto the
-MXU as an "x-block packed" matmul:
+These kernels keep the volume DENSE end to end by fusing the minor
+spatial axis with channels (lane = bx*C = 128, bx = 128/C x-positions per
+flat row) and mapping the conv onto the MXU as an "x-block packed"
+matmul:
 
-* The volume is viewed as flat rows of ``lane = bx*Ci`` lanes, where each
-  row is one x-block of ``bx = 128/min(Ci,Co)`` positions; the matmul N
-  dimension is (bx output positions) x Co = 128 or 256, so the systolic
-  array runs at full column utilization even for C=16.
-* Three slabs are DMA'd per tile at flat-row offsets -1/0/+1 — the DMA
-  engine absorbs the x-neighbor shifts, so every in-kernel slice is
-  sublane-aligned and no vector relayouts or operand materialization are
-  needed for the center taps: the 9 (dz,dy) center matmuls read slab
-  views directly.  Only the thin cross-block halo (6*Ci lanes per dy)
-  goes through a scratch operand.
-* Per-dy weights: W2c[dy] (lane, bx*Co) block-banded center matrices (one
-  per dz) and W2h[dy] (6*Ci+1, bx*Co) halo matrices whose last row is the
-  ones-lane trick for bias/db.
-* FLOP inflation vs a dense conv is ~(bx+2)/3 (3.3x for C=16, 2x for
-  C=32/64) — far cheaper than the 8x HBM inflation it replaces, and the
-  op stays MXU-bound instead of HBM-bound.
+* The input is a FREE reshape view (D, H*nb, 128) of the (D,H,W,C)
+  volume — no XLA-side padding or packing pass at all (v2 spent more
+  time in XLA pad/halo prep than in the kernel).  All conv padding and
+  edge handling happens inside the kernel: per-z-row DMAs are clamped at
+  volume edges and the skipped slab rows are zero-filled.
+* Per (dy,dz) tap pair the kernel runs one CENTER matmul (R,128)x
+  (128,128) against a block-banded weight matrix, plus one HALO matmul
+  for the cross-block x-neighbor taps: the left/right neighbor operands
+  are (+-1 flat-row)-shifted slab views, masked at x-line edges, summed
+  into one operand — their live lanes ([128-C:] for left, [:C] for
+  right) are disjoint, so a single matrix carries both taps.
+* Slabs are DOUBLE-BUFFERED across the sequential grid: tile t starts
+  tile t+1's DMAs before computing, hiding the HBM loads behind the MXU.
+* FLOP inflation vs a dense conv is 2*128/(3*C) (5.3x for C=16, 2.7x for
+  C=32, 1.3x for C=64) — far cheaper than the 8x HBM inflation it
+  replaces; HBM traffic is ~2.4x the dense volume (read + small overlap
+  + write) instead of ~9-17x.
 
 The backward reuses the same machinery:
 * dx = stride-1 conv of g with flip(w) transposed — the same kernel.
-* dw: per tile, dW2c/dW2h += operand^T @ g_block, accumulated in fp32
-  across the sequential TPU grid; db rides the halo ones-lane.
-  dw[dz,dy,dx,ci,co] is then recovered by summing the (q=p+dx-1, p)
-  diagonal blocks (trace-level slices).
+* dw: per tile, dWc[dy,dz] += slab^T @ g and dWh[dy,dz] += halo^T @ g,
+  accumulated in f32 across the sequential grid; db = sum(g) on the XLA
+  side.  dw[dz,dy,dx,ci,co] is recovered from the (pc, p) diagonal
+  blocks at trace level.
 
 Semantics match jax.lax.conv_general_dilated(NDHWC, DHWIO, pad=1)
 exactly — i.e. the reference's torch::nn::Conv3d(ks3, stride1, pad1)
@@ -45,10 +47,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# C=8 fails in Mosaic (8-wide lane pieces); C>=128 has no XLA lane-padding
-# waste to begin with and its packed operand overflows VMEM — both stay on
-# the XLA path.  16..64 covers every lane-padded level of the flagship.
+# C=8 would need bx=16 x-blocks of 8 lanes (Mosaic-hostile) and C>=128 has
+# no XLA lane-padding waste to begin with — both stay on the XLA path.
+# 16..64 covers every lane-padded level of the flagship.
 _SUPPORTED_C = (16, 32, 64)
+_LANE = 128
+_MARGIN = 0  # halo shifts use pltpu.roll on aligned windows; no margin
+
+
+def _interpret() -> bool:
+    # off-TPU (the virtual CPU test mesh) the kernels run in Pallas
+    # interpret mode: same semantics, pure-jax execution
+    return jax.default_backend() != "tpu"
 
 
 def _pick_tile(n: int, target: int) -> int:
@@ -59,21 +69,17 @@ def _pick_tile(n: int, target: int) -> int:
     return 1
 
 
-def _pick_tiles(d, h, wd, ci, co, lane, itemsize):
-    """(tz, th) sized so the per-tile working set (3 slabs + halo operand +
-    f32 accumulator) stays well under the VMEM budget."""
-    bx = lane // ci
-    nb = wd // bx
-    n_out = bx * co
+def _pick_tiles(d, h, nb, itemsize):
+    """(tz, th) sized so the per-tile working set (2 double-buffered slabs
+    + f32 accumulator) stays well under the VMEM budget."""
     tz = _pick_tile(d, 8)
     th = _pick_tile(h, 16)
-    budget = 8 * 2**20
+    budget = 10 * 2**20
     while th > 1:
         r = tz * th * nb
         work = (
-            3 * (tz + 2) * (th + 2) * nb * lane * itemsize  # 3 slabs
-            + r * (6 * ci + 8) * itemsize  # halo operand
-            + r * n_out * 4  # accumulator
+            2 * (tz + 2) * (th + 2) * nb * _LANE * itemsize
+            + r * _LANE * 4  # accumulator
         )
         if work <= budget:
             break
@@ -84,20 +90,17 @@ def _pick_tiles(d, h, wd, ci, co, lane, itemsize):
 def supported(ci: int, co: int, d: int, h: int, w: int) -> bool:
     """Shape eligibility for the packed kernels.
 
-    Ci == Co keeps lane == N == 128: Mosaic requires 8-aligned row slices
-    on multi-tile-wide (lane>128) HBM refs, which breaks the -1/+1 DMA
-    shifts.  2C->C decoder convs are decomposed into two C->C convs by the
-    caller (conv3d_s1_dual) instead.
+    Ci == Co keeps lane == N == 128.  2C->C decoder convs are decomposed
+    into two C->C convs by the caller (conv3d_s1_dual) instead.
     """
-    if ci not in _SUPPORTED_C or co not in _SUPPORTED_C:
+    if ci not in _SUPPORTED_C or co not in _SUPPORTED_C or ci != co:
         return False
-    if ci != co:
+    bx = _LANE // ci
+    if w % bx:
         return False
-    bx = 128 // min(ci, co)
-    if w % bx or (w * ci) % 128 or (w * co) % 128:
-        return False
-    if (w // bx) % 8:
-        return False  # in-kernel row slices must stay sublane-aligned
+    nb = w // bx
+    if nb % 8:
+        return False  # block-row slices/DMA offsets must be 8-aligned
     if d < 2 or h < 2:
         return False
     return True
@@ -133,31 +136,145 @@ def _build_w2_center(w: jnp.ndarray, bx: int, dtype) -> jnp.ndarray:
     return jnp.stack(mats).astype(dtype)  # (3, 3, lane, N)
 
 
-def _build_w2_halo(w: jnp.ndarray, bx: int, bias, dtype) -> jnp.ndarray:
-    """(3,3,3,Ci,Co) -> (3_dy, 6*Ci+1, bx*Co) halo matrices.
+def _build_w2_halo(w: jnp.ndarray, bx: int, dtype) -> jnp.ndarray:
+    """(3,3,3,Ci,Co) -> (3_dy, 3_dz, lane, bx*Co) combined halo matrices.
 
-    Rows (dz*2+0)*Ci..: left neighbor (contributes to p=0 via dx=0);
-    rows (dz*2+1)*Ci..: right neighbor (p=bx-1 via dx=2).  The last row
-    carries the bias in the dy=1 matrix only, so the ones-lane adds it
-    exactly once (and yields db in the dw kernel).
+    The halo operand keeps ORIGINAL lanes: the left-neighbor (-1 row
+    shift) operand is live in lanes [lane-Ci:) and feeds output position
+    p=0 via tap dx=0; the right-neighbor (+1 row) operand is live in
+    lanes [:Ci) and feeds p=bx-1 via dx=2.  The two lane sets are
+    disjoint for every supported C, so one matrix serves the summed
+    operand.
     """
     ci, co = w.shape[3], w.shape[4]
     mats = []
     for dy in range(3):
-        m = jnp.zeros((6 * ci + 1, bx * co), w.dtype)
+        dz_mats = []
         for dz in range(3):
-            m = m.at[(dz * 2) * ci : (dz * 2 + 1) * ci, :co].set(w[dz, dy, 0])
-            m = m.at[(dz * 2 + 1) * ci : (dz * 2 + 2) * ci, (bx - 1) * co :].set(
-                w[dz, dy, 2]
-            )
-        if bias is not None and dy == 1:
-            m = m.at[6 * ci].set(jnp.tile(bias, bx))
-        mats.append(m)
-    return jnp.stack(mats).astype(dtype)  # (3, 6*Ci+1, N)
+            m = jnp.zeros((_LANE, bx * co), w.dtype)
+            m = m.at[_LANE - ci :, :co].set(w[dz, dy, 0])
+            m = m.at[:ci, (bx - 1) * co :].set(w[dz, dy, 2])
+            dz_mats.append(m)
+        mats.append(jnp.stack(dz_mats))
+    return jnp.stack(mats).astype(dtype)  # (3, 3, lane, N)
+
+
+def _edge_masks(th: int, nb: int, ci: int, dtype):
+    """(2, th*nb, lane) 0/1 masks for the shifted halo operands.  Each
+    selects BOTH the valid rows (mask 0 kills rowmod==0 rows whose left
+    neighbor crosses an x-line edge; mask 1 kills rowmod==nb-1) AND the
+    live lanes — left keeps only the last Ci lanes, right only the first
+    Ci.  Lane selection is essential: the two shifted operands are summed
+    into one matmul operand, and without it each would pollute the other's
+    live rows of the combined halo matrix."""
+    rm = (jnp.arange(th * nb) % nb)[:, None]
+    lane = jnp.arange(_LANE)[None, :]
+    left = ((rm != 0) & (lane >= _LANE - ci)).astype(dtype)
+    right = ((rm != nb - 1) & (lane < ci)).astype(dtype)
+    return jnp.stack([left, right])
 
 
 # ---------------------------------------------------------------------------
-# shared kernel pieces
+# shared slab machinery (in-kernel padding + double buffering)
+# ---------------------------------------------------------------------------
+
+
+def _issue_tile_dmas(x_hbm, slab, sems, slot, t, *, tz, th, nb, d, gy, start):
+    """Start (or wait on) the per-z-row DMAs for flat tile t into slab
+    buffer ``slot``.  Row copies are clamped at the y edges (the skipped
+    pad blocks are zero-filled by ``_zero_tile_edges``); z rows outside
+    the volume are skipped entirely.  All row offsets are multiples of nb
+    (8-aligned by ``supported``).
+    """
+    i = t // gy
+    j = t % gy
+    rows_int = (th + 2) * nb
+    rows_edge = (th + 1) * nb
+    for dzl in range(tz + 2):
+        z = i * tz + dzl - 1
+        ok = (z >= 0) & (z < d)
+
+        def _copy(src_row, dst_row, rows, dzl=dzl, z=z):
+            # all row offsets are multiples of nb (8-aligned); Mosaic's
+            # divisibility prover can't see that through t % gy, so assert
+            src = pl.multiple_of(src_row, nb) if not isinstance(src_row, int) else src_row
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(z, 1), pl.ds(src, rows), :],
+                slab.at[slot, pl.ds(dzl, 1), pl.ds(dst_row, rows), :],
+                sems.at[slot, dzl],
+            )
+            cp.start() if start else cp.wait()
+
+        if gy == 1:
+            @pl.when(ok)
+            def _():
+                _copy(0, _MARGIN + nb, th * nb)
+        else:
+            @pl.when(ok & (j == 0))
+            def _():
+                _copy(0, _MARGIN + nb, rows_edge)
+
+            @pl.when(ok & (j == gy - 1))
+            def _():
+                _copy(j * th * nb - nb, _MARGIN, rows_edge)
+
+            @pl.when(ok & (j > 0) & (j < gy - 1))
+            def _():
+                _copy(j * th * nb - nb, _MARGIN, rows_int)
+
+
+def _zero_tile_edges(slab, slot, t, *, tz, th, nb, d, gy):
+    """Zero-fill the slab regions the clamped DMAs skip: out-of-volume z
+    rows and the y-pad blocks at the first/last y tile.  (The _MARGIN rows
+    are junk but only ever read through the edge masks.)"""
+    i = t // gy
+    j = t % gy
+    for dzl in range(tz + 2):
+        z = i * tz + dzl - 1
+
+        @pl.when((z < 0) | (z >= d))
+        def _(dzl=dzl):
+            slab[slot, dzl, _MARGIN : _MARGIN + (th + 2) * nb, :] = jnp.zeros(
+                ((th + 2) * nb, _LANE), slab.dtype
+            )
+
+    @pl.when(j == 0)
+    def _():
+        slab[slot, :, _MARGIN : _MARGIN + nb, :] = jnp.zeros(
+            (tz + 2, nb, _LANE), slab.dtype
+        )
+
+    @pl.when(j == gy - 1)
+    def _():
+        slab[slot, :, _MARGIN + (th + 1) * nb : _MARGIN + (th + 2) * nb, :] = (
+            jnp.zeros((tz + 2, nb, _LANE), slab.dtype)
+        )
+
+
+def _build_halo(oph_ref, slab, mask_ref, slot, dy, *, th, nb):
+    """Write the combined halo operand for this dy into scratch: the left
+    (-1 row) and right (+1 row) shifted windows, masked at x-line edges
+    and summed — their live lanes are disjoint.  Staged through VMEM so
+    the matmuls below stream it instead of materializing a full-window
+    register value."""
+    base = _MARGIN + dy * nb
+    rows = th * nb
+    # pltpu.roll on the ALIGNED window instead of +-1-row slices: unaligned
+    # bf16 (packed-sublane) slices miscompile on Mosaic (v3 debug).  The
+    # single wrapped row of each roll lands on a row the edge mask kills
+    # (rowmod==0 for the left/+1 roll, rowmod==nb-1 for the right/-1), so
+    # the circular shift is exact here.
+    for zi in range(oph_ref.shape[0]):
+        # rotate in f32: Mosaic's rotate only handles 32-bit element types
+        win = slab[slot, zi, pl.ds(base, rows), :].astype(jnp.float32)
+        oph_ref[zi] = (
+            pltpu.roll(win, shift=1, axis=0) * mask_ref[0].astype(jnp.float32)
+            + pltpu.roll(win, shift=rows - 1, axis=0) * mask_ref[1].astype(jnp.float32)
+        ).astype(oph_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
 # ---------------------------------------------------------------------------
 
 
@@ -166,158 +283,122 @@ def _mm_precision(dtype):
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
-def _slab_rows(th, nb):
-    """Rows per slab and the 8-multiple DMA row count (sublane-unaligned
-    DMA sizes fault the TPU)."""
-    needed = (th + 2) * nb
-    return needed, -(-needed // 8) * 8
-
-
-def _pad_fused(x, d, h, nb, lane, extra):
-    """(D,H,W,Ci) -> (D+2, (H+2)*nb + 2 + extra, lane): z halo, y halo (nb
-    flat rows), one extra flat row each side for the -1/+1 DMA shifts, and
-    the DMA alignment tail — ONE pad, one HBM copy."""
-    x3 = x.reshape(d, h * nb, lane)
-    return jnp.pad(x3, ((1, 1), (nb + 1, nb + 1 + extra), (0, 0)))
-
-
-def _start_slabs(x_hbm, slabs, sems, i, j, tz, th, nb):
-    """Kick the three tile DMAs at flat-row offsets -1/0/+1 (x4 coords:
-    the +1 pad row makes the center base j*th*nb + 1)."""
-    rows_dma = slabs[0].shape[1]
-    base = j * th * nb
-    copies = [
-        pltpu.make_async_copy(
-            x_hbm.at[pl.ds(i * tz, tz + 2), pl.ds(base + k, rows_dma), :],
-            slabs[k],
-            sems.at[k],
-        )
-        for k in range(3)
-    ]
-    for cp in copies:
-        cp.start()
-    return copies
-
-
-def _halo_operand(oph_ref, s0, s2, tz, th, nb, ci, lane):
-    """Fill the thin halo operand (R, 6*Ci): per dz, the left-neighbor's
-    last Ci lanes and right-neighbor's first Ci lanes, masked at x edges.
-    The ones-lane at [6*Ci] is written once by the caller."""
-    r = tz * th * nb
-    rowmod = jax.lax.broadcasted_iota(jnp.int32, (tz, th * nb, ci), 1) % nb
-    zeros = jnp.zeros((tz, th * nb, ci), s0[0].dtype)
-    # dy enters via the row offset chosen by the caller's slicing
-    for dz in range(3):
-        left = jnp.where(rowmod == 0, zeros, s0[dz][..., lane - ci :])
-        right = jnp.where(rowmod == nb - 1, zeros, s2[dz][..., :ci])
-        oph_ref[:, (dz * 2) * ci : (dz * 2 + 1) * ci] = left.reshape(r, ci)
-        oph_ref[:, (dz * 2 + 1) * ci : (dz * 2 + 2) * ci] = right.reshape(r, ci)
-
-
-# ---------------------------------------------------------------------------
-# forward kernel
-# ---------------------------------------------------------------------------
-
-
 def _fwd_kernel(
+    mask_ref,
+    bias_ref,
     w2c_ref,
     w2h_ref,
     x_hbm,
     o_ref,
-    slab0,
-    slab1,
-    slab2,
-    oph_ref,
+    slab,
+    oph,
     sems,
     *,
     tz,
     th,
     nb,
-    ci,
-    lane,
-    co,
+    d,
+    gy,
+    n_tiles,
 ):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    copies = _start_slabs(x_hbm, (slab0, slab1, slab2), sems, i, j, tz, th, nb)
-    for cp in copies:
-        cp.wait()
-    bx = lane // ci
-    N = bx * co
+    t = pl.program_id(0)
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t == 0)
+    def _():
+        _issue_tile_dmas(
+            x_hbm, slab, sems, slot, t, tz=tz, th=th, nb=nb, d=d, gy=gy,
+            start=True,
+        )
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _issue_tile_dmas(
+            x_hbm, slab, sems, nxt, t + 1, tz=tz, th=th, nb=nb, d=d, gy=gy,
+            start=True,
+        )
+
+    _zero_tile_edges(slab, slot, t, tz=tz, th=th, nb=nb, d=d, gy=gy)
+    _issue_tile_dmas(
+        x_hbm, slab, sems, slot, t, tz=tz, th=th, nb=nb, d=d, gy=gy,
+        start=False,
+    )
+
     R = tz * th * nb
-    prec = _mm_precision(slab1.dtype)
-    acc = jnp.zeros((R, N), jnp.float32)
-    ones = jnp.ones((R, 1), slab1.dtype)
-    oph_ref[:, 6 * ci : 6 * ci + 1] = ones
+    rows = th * nb
+    prec = _mm_precision(slab.dtype)
+    acc = jnp.broadcast_to(bias_ref[0], (R, _LANE)).astype(jnp.float32)
     for dy in range(3):
-        r0 = dy * nb
-        rows = pl.ds(r0, th * nb)
-        # center taps: direct aligned views of the 0-shift slab
+        base = _MARGIN + dy * nb
+        _build_halo(oph, slab, mask_ref, slot, dy, th=th, nb=nb)
         for dz in range(3):
-            lhs = slab1[dz : dz + tz, rows, :].reshape(R, lane)
             acc = acc + jnp.dot(
-                lhs, w2c_ref[dy, dz], preferred_element_type=jnp.float32,
+                slab[slot, dz : dz + tz, pl.ds(base, rows), :].reshape(R, _LANE),
+                w2c_ref[dy, dz],
+                preferred_element_type=jnp.float32,
                 precision=prec,
             )
-        # halo taps (cross-block lanes) + bias via the ones-lane
-        s0 = [slab0[dz : dz + tz, rows, :] for dz in range(3)]
-        s2 = [slab2[dz : dz + tz, rows, :] for dz in range(3)]
-        _halo_operand(oph_ref, s0, s2, tz, th, nb, ci, lane)
-        acc = acc + jnp.dot(
-            oph_ref[:], w2h_ref[dy], preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-    o_ref[:] = acc.reshape(tz, th * nb, N).astype(o_ref.dtype)
+            acc = acc + jnp.dot(
+                oph[dz : dz + tz].reshape(R, _LANE),
+                w2h_ref[dy, dz],
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+    o_ref[:] = acc.reshape(tz, rows, _LANE).astype(o_ref.dtype)
 
 
-def _make_fwd_call(d, h, w, ci, co, lane, nb, tz, th, dtype):
-    bx = lane // ci
-    N = bx * co
-    grid = (d // tz, h // th)
-    kern = partial(_fwd_kernel, tz=tz, th=th, nb=nb, ci=ci, lane=lane, co=co)
-    rows_dma = _slab_rows(th, nb)[1]
+def _make_fwd_call(d, h, nb, tz, th, dtype):
+    gz, gy = d // tz, h // th
+    n_tiles = gz * gy
+    kern = partial(
+        _fwd_kernel, tz=tz, th=th, nb=nb, d=d, gy=gy, n_tiles=n_tiles
+    )
+    srows = (th + 2) * nb
     return pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 center (3,3,lane,N)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 halo (3,6ci+1,N)
-            pl.BlockSpec(memory_space=pltpu.HBM),  # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # edge masks (2,rows,128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, N)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 center (3,3,128,128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 halo (3,3,128,128)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # x flat view, unpadded
         ],
         out_specs=pl.BlockSpec(
-            (tz, th * nb, N), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (tz, th * nb, _LANE),
+            lambda t: (t // gy, t % gy, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((d, h * nb, N), dtype),
+        out_shape=jax.ShapeDtypeStruct((d, h * nb, _LANE), dtype),
         scratch_shapes=[
-            pltpu.VMEM(((tz + 2), rows_dma, lane), dtype),
-            pltpu.VMEM(((tz + 2), rows_dma, lane), dtype),
-            pltpu.VMEM(((tz + 2), rows_dma, lane), dtype),
-            pltpu.VMEM((tz * th * nb, 6 * ci + 1), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, tz + 2, srows, _LANE), dtype),
+            pltpu.VMEM((tz + 2, th * nb, _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2, tz + 2)),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
+        interpret=_interpret(),
     )
 
 
 def conv3d_s1_fwd_impl(x, w, b):
-    """x: (D,H,W,Ci); w: (3,3,3,Ci,Co); b: (Co,) -> (D,H,W,Co).
+    """x: (D,H,W,C); w: (3,3,3,C,C); b: (C,) -> (D,H,W,C).
 
     Pure forward evaluation (no VJP) via the packed Pallas kernels.
     """
     d, h, wd, ci = x.shape
-    co = w.shape[-1]
-    bx = 128 // min(ci, co)
-    lane = bx * ci
+    bx = _LANE // ci
     nb = wd // bx
     dtype = x.dtype
-    tz, th = _pick_tiles(d, h, wd, ci, co, lane, jnp.dtype(dtype).itemsize)
-    needed, aligned = _slab_rows(th, nb)
-    x3 = _pad_fused(x, d, h, nb, lane, aligned - needed)
+    tz, th = _pick_tiles(d, h, nb, jnp.dtype(dtype).itemsize)
+    x3 = x.reshape(d, h * nb, _LANE)  # free view, no copy
     w2c = _build_w2_center(w, bx, dtype)
-    w2h = _build_w2_halo(w, bx, b.astype(jnp.float32), dtype)
-    call = _make_fwd_call(d, h, wd, ci, co, lane, nb, tz, th, dtype)
-    y = call(w2c, w2h, x3)  # (d, h*nb, bx*co), row-major == (d,h,w,co)
-    return y.reshape(d, h, wd, co)
+    w2h = _build_w2_halo(w, bx, dtype)
+    bias2 = jnp.tile(b.astype(jnp.float32), bx)[None]  # (1, N)
+    masks = _edge_masks(th, nb, ci, dtype)
+    call = _make_fwd_call(d, h, nb, tz, th, dtype)
+    y = call(masks, bias2, w2c, w2h, x3)  # (d, h*nb, 128) == dhwc row-major
+    return y.reshape(d, h, wd, ci)
 
 
 # ---------------------------------------------------------------------------
@@ -326,99 +407,116 @@ def conv3d_s1_fwd_impl(x, w, b):
 
 
 def _dw_kernel(
+    mask_ref,
     x_hbm,
     g_ref,
     dwc_ref,
     dwh_ref,
-    slab0,
-    slab1,
-    slab2,
-    oph_ref,
+    slab,
+    oph,
     sems,
     *,
     tz,
     th,
     nb,
-    ci,
-    lane,
-    co,
+    d,
+    gy,
+    n_tiles,
 ):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    copies = _start_slabs(x_hbm, (slab0, slab1, slab2), sems, i, j, tz, th, nb)
+    t = pl.program_id(0)
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
 
-    @pl.when(jnp.logical_and(i == 0, j == 0))
+    @pl.when(t == 0)
     def _():
+        _issue_tile_dmas(
+            x_hbm, slab, sems, slot, t, tz=tz, th=th, nb=nb, d=d, gy=gy,
+            start=True,
+        )
         dwc_ref[:] = jnp.zeros_like(dwc_ref)
         dwh_ref[:] = jnp.zeros_like(dwh_ref)
 
-    for cp in copies:
-        cp.wait()
-    bx = lane // ci
-    N = bx * co
-    R = tz * th * nb
-    g = g_ref[:].reshape(R, N)
-    prec = _mm_precision(slab1.dtype)
-    dn = (((0,), (0,)), ((), ()))
-    oph_ref[:, 6 * ci : 6 * ci + 1] = jnp.ones((R, 1), slab1.dtype)
-    for dy in range(3):
-        r0 = dy * nb
-        rows = pl.ds(r0, th * nb)
-        for dz in range(3):
-            lhs = slab1[dz : dz + tz, rows, :].reshape(R, lane)
-            dwc_ref[dy, dz] += jax.lax.dot_general(
-                lhs, g, dimension_numbers=dn,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-        s0 = [slab0[dz : dz + tz, rows, :] for dz in range(3)]
-        s2 = [slab2[dz : dz + tz, rows, :] for dz in range(3)]
-        _halo_operand(oph_ref, s0, s2, tz, th, nb, ci, lane)
-        dwh_ref[dy] += jax.lax.dot_general(
-            oph_ref[:], g, dimension_numbers=dn,
-            preferred_element_type=jnp.float32, precision=prec,
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _issue_tile_dmas(
+            x_hbm, slab, sems, nxt, t + 1, tz=tz, th=th, nb=nb, d=d, gy=gy,
+            start=True,
         )
 
+    _zero_tile_edges(slab, slot, t, tz=tz, th=th, nb=nb, d=d, gy=gy)
+    _issue_tile_dmas(
+        x_hbm, slab, sems, slot, t, tz=tz, th=th, nb=nb, d=d, gy=gy,
+        start=False,
+    )
 
-def _make_dw_call(d, h, w, ci, co, lane, nb, tz, th, dtype):
-    bx = lane // ci
-    N = bx * co
-    grid = (d // tz, h // th)
-    kern = partial(_dw_kernel, tz=tz, th=th, nb=nb, ci=ci, lane=lane, co=co)
-    rows_dma = _slab_rows(th, nb)[1]
+    R = tz * th * nb
+    rows = th * nb
+    g = g_ref[:].reshape(R, _LANE)
+    prec = _mm_precision(slab.dtype)
+    dn = (((0,), (0,)), ((), ()))
+    for dy in range(3):
+        base = _MARGIN + dy * nb
+        _build_halo(oph, slab, mask_ref, slot, dy, th=th, nb=nb)
+        for dz in range(3):
+            dwc_ref[dy, dz] += jax.lax.dot_general(
+                slab[slot, dz : dz + tz, pl.ds(base, rows), :].reshape(R, _LANE),
+                g,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            dwh_ref[dy, dz] += jax.lax.dot_general(
+                oph[dz : dz + tz].reshape(R, _LANE), g,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+
+def _make_dw_call(d, h, nb, tz, th, dtype):
+    gz, gy = d // tz, h // th
+    n_tiles = gz * gy
+    kern = partial(
+        _dw_kernel, tz=tz, th=th, nb=nb, d=d, gy=gy, n_tiles=n_tiles
+    )
+    srows = (th + 2) * nb
     return pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # x (padded, fused)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # edge masks
+            pl.BlockSpec(memory_space=pltpu.HBM),  # x flat view
             pl.BlockSpec(
-                (tz, th * nb, N), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+                (tz, th * nb, _LANE),
+                lambda t: (t // gy, t % gy, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (3, 3, lane, N), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+                (3, 3, _LANE, _LANE), lambda t: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, 6 * ci + 1, N), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
+                (3, 3, _LANE, _LANE), lambda t: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((3, 3, lane, N), jnp.float32),
-            jax.ShapeDtypeStruct((3, 6 * ci + 1, N), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3, _LANE, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3, _LANE, _LANE), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM(((tz + 2), rows_dma, lane), dtype),
-            pltpu.VMEM(((tz + 2), rows_dma, lane), dtype),
-            pltpu.VMEM(((tz + 2), rows_dma, lane), dtype),
-            pltpu.VMEM((tz * th * nb, 6 * ci + 1), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, tz + 2, srows, _LANE), dtype),
+            pltpu.VMEM((tz + 2, th * nb, _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2, tz + 2)),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
+        interpret=_interpret(),
     )
 
 
-def _extract_dw_db(dwc, dwh, bx, ci, co):
-    """Recover dw (3,3,3,Ci,Co) + db (Co,) from the packed accumulators."""
+def _extract_dw(dwc, dwh, bx, ci):
+    """Recover dw (3,3,3,Ci,Co) from the packed accumulators."""
+    co = ci
     dw = jnp.zeros((3, 3, 3, ci, co), jnp.float32)
     for dy in range(3):
         blk = dwc[dy].reshape(3, bx, ci, bx, co)  # (dz, pc, ci, p, co)
@@ -429,15 +527,12 @@ def _extract_dw_db(dwc, dwh, bx, ci, co):
                 if 0 <= p + dx - 1 < bx
             ]
             acc = sum(terms[1:], terms[0])  # (3, ci, co)
-            if dx == 0:  # left halo: p=0 column
-                acc = acc + dwh[dy, : 6 * ci].reshape(3, 2, ci, bx, co)[:, 0, :, 0, :]
-            if dx == 2:  # right halo: p=bx-1 column
-                acc = acc + dwh[dy, : 6 * ci].reshape(3, 2, ci, bx, co)[
-                    :, 1, :, bx - 1, :
-                ]
+            if dx == 0:  # left halo (lanes [128-ci:]) feeds output col p=0
+                acc = acc + dwh[dy, :, _LANE - ci :, :co]
+            if dx == 2:  # right halo (lanes [:ci]) feeds output col p=bx-1
+                acc = acc + dwh[dy, :, :ci, (bx - 1) * co :]
             dw = dw.at[:, dy, dx].set(acc)
-    db = sum(dwh[dy, 6 * ci].reshape(bx, co).sum(axis=0) for dy in range(3)) / 3.0
-    return dw, db
+    return dw
 
 
 # ---------------------------------------------------------------------------
@@ -458,23 +553,22 @@ def _conv3d_s1_fwd(x, w, b):
 def _conv3d_s1_bwd(res, g):
     x, w = res
     d, h, wd, ci = x.shape
-    co = w.shape[-1]
     g = g.astype(x.dtype)
     # dx: full conv of g with spatially flipped, (ci,co)-transposed kernel
     wt = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
     dx = conv3d_s1_fwd_impl(g, wt, jnp.zeros((ci,), jnp.float32))
-    # dw/db: packed transpose matmuls accumulated over the sequential grid
-    bx = 128 // min(ci, co)
-    lane = bx * ci
+    # dw: packed transpose matmuls accumulated over the sequential grid
+    bx = _LANE // ci
     nb = wd // bx
-    tz, th = _pick_tiles(d, h, wd, ci, co, lane, jnp.dtype(x.dtype).itemsize)
-    needed, aligned = _slab_rows(th, nb)
-    x3 = _pad_fused(x, d, h, nb, lane, aligned - needed)
-    g3 = g.reshape(d, h * nb, bx * co)
-    call = _make_dw_call(d, h, wd, ci, co, lane, nb, tz, th, x.dtype)
-    dwc, dwh = call(x3, g3)
-    dw, db = _extract_dw_db(dwc, dwh, bx, ci, co)
-    return dx, dw, db.astype(jnp.float32)
+    tz, th = _pick_tiles(d, h, nb, jnp.dtype(x.dtype).itemsize)
+    x3 = x.reshape(d, h * nb, _LANE)
+    g3 = g.reshape(d, h * nb, _LANE)
+    masks = _edge_masks(th, nb, ci, x.dtype)
+    call = _make_dw_call(d, h, nb, tz, th, x.dtype)
+    dwc, dwh = call(masks, x3, g3)
+    dw = _extract_dw(dwc, dwh, bx, ci)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    return dx, dw, db
 
 
 conv3d_s1.defvjp(_conv3d_s1_fwd, _conv3d_s1_bwd)
@@ -484,7 +578,7 @@ def conv3d_s1_dual(xa, xb, w, b):
     """2C->C conv on an implicit concat([xa, xb], -1) input, decomposed as
     two C->C packed convs summed — the decoder's skip+upsample convs
     (unet.cpp:179-190) WITHOUT materializing the concat, and within the
-    Ci==Co shapes Mosaic supports."""
+    Ci==Co shapes the packed kernels support."""
     ca = xa.shape[-1]
     ya = conv3d_s1(xa, w[:, :, :, :ca, :], b)
     yb = conv3d_s1(xb, w[:, :, :, ca:, :], jnp.zeros_like(b))

@@ -47,11 +47,21 @@ class RateMeter:
         return self.rate
 
 
-def device_time(body, *args, iters: int = 10) -> float:
+def device_time(body, *args, iters: int = 50) -> float:
     """Median-free single-shot device timing: returns seconds per call.
 
     ``body(*args, key)`` must return an array (or pytree); each iteration's
     key differs so loop-invariant code motion cannot hoist the work.
+
+    Two measured hazards on the axon remote backend (round 2):
+    * a FIXED ~28 ms overhead per jitted-loop call — use ``iters`` >= 50
+      so the per-iteration quotient is meaningful, and subtract a
+      calibration run (a trivial body) for sub-ms kernels;
+    * the loop consumes only one element of the body's output, so XLA
+      dead-code-eliminates pure elementwise/pad/reshape bodies to a
+      single-element computation.  Only opaque ops (conv, matmul,
+      pallas_call) are reliably timed — wrap elementwise pipelines so an
+      opaque consumer reads their full result.
     """
 
     @jax.jit
