@@ -1,0 +1,117 @@
+"""Packed-dataflow ops vs their 5D XLA references (interpret mode on the
+CPU mesh; hardware parity is checked by the driver bench).
+
+Reference semantics: Conv3d(ks3,stride2,pad1) downsamplers,
+ConvTranspose3d(ks2,stride2) upsamplers, InstanceNorm3d(affine), and the
+ks1 output heads of unet.cpp:24-101,168-193.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unet_studio_tpu.ops import packed
+
+
+def _conv5(x, w, stride):
+    return jax.lax.conv_general_dilated(
+        x[None],
+        w,
+        (stride,) * 3,
+        [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[0]
+
+
+def test_s2_down_parity(rng):
+    d, h, w_, c = 8, 16, 64, 16
+    assert packed.s2_supported(c, 2 * c, d, h, w_)
+    x = jnp.asarray(rng.standard_normal((d, h, w_, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, c, 2 * c)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(2 * c), jnp.float32)
+    y3 = jax.jit(
+        lambda x3: packed.conv_s2_down(x3, w, b, (d, h, w_, c))
+    )(packed.pack(x))
+    y = packed.unpack(y3, (d // 2, h // 2, w_ // 2, 2 * c))
+    yr = _conv5(x, w, 2) + b
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=3e-5)
+
+
+def test_trans_up_parity(rng):
+    from unet_studio_tpu.models.unet3d import _conv_trans2x
+
+    d, h, w_, c = 4, 8, 16, 32  # ci = 2C = 64, bx_i = 2, nb = 8
+    ci, co = 2 * c, c
+    assert packed.trans_supported(ci, co, d, h, w_)
+    x = jnp.asarray(rng.standard_normal((d, h, w_, ci)), jnp.float32)
+    # the model's conv_trans layout: (I, 2, 2, 2, O)
+    w = jnp.asarray(rng.standard_normal((ci, 2, 2, 2, co)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(co), jnp.float32)
+    y3 = jax.jit(
+        lambda x3: packed.conv_trans2x_up(x3, w, b, (d, h, w_, ci))
+    )(packed.pack(x))
+    y = packed.unpack(y3, (2 * d, 2 * h, 2 * w_, co))
+    yr = _conv_trans2x(x[None], w, b)[0]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=3e-5)
+
+
+def test_instance_norm_packed(rng):
+    d, h, w_, c = 4, 8, 32, 16
+    x = jnp.asarray(rng.standard_normal((d, h, w_, c)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    y3 = packed.instance_norm_packed(packed.pack(x), scale, bias, c)
+    y = packed.unpack(y3, (d, h, w_, c))
+    mean = x.mean(axis=(0, 1, 2))
+    var = ((x - mean) ** 2).mean(axis=(0, 1, 2))
+    yr = (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=2e-5)
+
+
+def test_head_conv_packed(rng):
+    d, h, w_, c, out = 4, 8, 32, 16, 4
+    x = jnp.asarray(rng.standard_normal((d, h, w_, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((1, 1, 1, c, out)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(out), jnp.float32)
+    y = packed.head_conv_packed(packed.pack(x), w, b, (d, h, w_, c))
+    yr = (jnp.einsum("dhwc,co->dhwo", x, w[0, 0, 0]) + b)[None]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=2e-5)
+
+
+PACKED_ARCH = "\n".join(
+    [
+        "conv16,ks3,stride1+norm,leaky_relu+conv16,ks3,stride1+norm,leaky_relu",
+        "conv32,ks3,stride2+norm,leaky_relu+conv32,ks3,stride1+norm,leaky_relu",
+        "conv64,ks3,stride2+norm,leaky_relu+conv64,ks3,stride1+norm,leaky_relu"
+        "+conv_trans32,ks2,stride2",
+        "conv32,ks3,stride1+norm,leaky_relu+conv32,ks3,stride1+norm,leaky_relu"
+        "+conv4,ks1,stride1+conv_trans16,ks2,stride2",
+        "conv16,ks3,stride1+norm,leaky_relu+conv16,ks3,stride1+norm,leaky_relu"
+        "+conv4,ks1,stride1",
+    ]
+)
+
+
+def test_forward_packed_matches_forward(rng):
+    """The packed-dataflow inference forward must match forward(train=False)
+    through entry conv, s1/s2 convs, dual decoder entry, trans upsamplers,
+    norms, and heads (unet.cpp:168-193 semantics)."""
+    from unet_studio_tpu.models.unet3d import UNet3d, forward, forward_packed
+
+    model = UNet3d.create(1, 4, PACKED_ARCH, seed=0)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 64, 1)), jnp.float32)
+    params = {k: jnp.asarray(v) for k, v in model.params.items()}
+    ref, _ = forward(
+        model.spec, params, x, train=False, compute_dtype=jnp.float32
+    )
+    got = forward_packed(model.spec, params, x, compute_dtype=jnp.float32)
+    assert len(got) == len(ref)
+    for lvl, (a, b) in enumerate(zip(got, ref)):
+        assert (a is None) == (b is None), lvl
+        if a is not None:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"level {lvl}"
+            )

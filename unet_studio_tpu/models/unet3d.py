@@ -387,13 +387,16 @@ def _conv_cv_bwd(stride, ks, res, g):
 _conv_cv.defvjp(_conv_cv_fwd, _conv_cv_bwd)
 
 
-# Opt-in for now: the kernels beat XLA 2-4x in isolation (grad-checked on
-# hardware), but routed through the current 5D dataflow XLA wraps every
-# pallas_call in 8-16x lane-padded layout-conversion copies (measured: a
-# 4 GB copy per full-grid conv, inference 5.9 -> 4.3 vols/s, training
-# OOM).  The packed-dataflow forward (keeping (d, h*nb, 128) end to end)
-# flips this on by default once it lands.
-_PALLAS_CONV_ENABLED = os.environ.get("UNET_TPU_PALLAS", "") == "1"
+# Packed-dataflow INFERENCE is on by default: forward(train=False) routes
+# through forward_packed (measured 4.0x: 165.7 -> 41.9 ms flagship fwd).
+_PALLAS_CONV_ENABLED = os.environ.get("UNET_TPU_NO_PALLAS", "") != "1"
+
+# The 5D-flow pallas routing (pallas convs spliced into the ordinary
+# forward/backward) stays opt-in: XLA wraps each call in 8-16x
+# lane-padded layout-conversion copies there (measured: a 4 GB copy per
+# full-grid conv; the full-grid train step OOMs).  The packed-dataflow
+# TRAINING step replaces it once its VJPs land.
+_PALLAS_5D = os.environ.get("UNET_TPU_PALLAS_5D", "") == "1"
 
 
 class no_pallas_conv:
@@ -413,7 +416,7 @@ class no_pallas_conv:
 
 
 def _pallas_eligible(x, ci: int, co: int) -> bool:
-    if not _PALLAS_CONV_ENABLED or x.shape[0] != 1:
+    if not _PALLAS_5D or x.shape[0] != 1:
         return False
     if jax.default_backend() != "tpu":
         return False
@@ -620,6 +623,203 @@ def _run_sequential(params, state, mod_name, layers, x, train: bool):
 
 
 # ---------------------------------------------------------------------------
+# packed-dataflow inference forward (ops/packed.py)
+# ---------------------------------------------------------------------------
+#
+# Between the entry conv and the C>=128 levels every tensor stays in the
+# flat (D, H*nb, 128) form, so XLA never materializes a lane-padded 5D
+# intermediate (the multi-GB layout-conversion copies measured around
+# isolated pallas calls).  Ops fall back to the 5D XLA path per-layer
+# whenever a shape is outside the packed kernels' support.
+
+
+class _PK:
+    """Packed-domain carrier: flat volume + its logical (D,H,W,C)."""
+
+    __slots__ = ("x3", "dims")
+
+    def __init__(self, x3, dims):
+        self.x3 = x3
+        self.dims = dims
+
+
+def _pk_able(dims) -> bool:
+    from ..ops import pallas_conv
+
+    d, h, w, c = dims
+    if c not in (16, 32, 64):
+        return False
+    bx = 128 // c
+    return w % bx == 0 and (w // bx) % 8 == 0 and d >= 2 and h >= 2
+
+
+def _ensure5(x):
+    if isinstance(x, _PK):
+        d, h, w, c = x.dims
+        return x.x3.reshape(1, d, h, w, c)
+    return x
+
+
+def _maybe_pack(x):
+    """5D (1,D,H,W,C) -> _PK when the packed kernels can serve this
+    shape; otherwise pass through unchanged."""
+    if isinstance(x, _PK):
+        return x
+    n, d, h, w, c = x.shape
+    if n == 1 and _pk_able((d, h, w, c)):
+        from ..ops.packed import pack
+
+        return _PK(pack(x[0]), (d, h, w, c))
+    return x
+
+
+def _run_level_packed(params, mod_name, layers, x):
+    """Inference-only analog of _run_sequential operating in the packed
+    domain where possible.  ``x``: _PK, a 5D tensor, or a (skip, up)
+    tuple at a decoder entry."""
+    from ..ops import packed as P_, pallas_conv as PC
+
+    for i, layer in enumerate(layers):
+        w = params.get(f"{mod_name}.{i}.w")
+        b = params.get(f"{mod_name}.{i}.b")
+        if isinstance(x, tuple):
+            a, bp = (_maybe_pack(v) for v in x)
+            if (
+                layer.kind == "conv"
+                and layer.ks == 3
+                and layer.stride == 1
+                and isinstance(a, _PK)
+                and isinstance(bp, _PK)
+                and a.dims == bp.dims
+                and w is not None
+                and w.shape[3] == 2 * a.dims[3]
+                and w.shape[4] == a.dims[3]
+            ):
+                ca = a.dims[3]
+                y3 = PC.conv_s1_packed(a.x3, w[:, :, :, :ca, :], b, a.dims)
+                y3 = y3 + PC.conv_s1_packed(
+                    bp.x3, w[:, :, :, ca:, :], jnp.zeros_like(b), bp.dims
+                )
+                x = _PK(_act(y3, layer.act), a.dims)
+                continue
+            x = jnp.concatenate([_ensure5(a), _ensure5(bp)], axis=-1)
+        x = _maybe_pack(x)
+        if layer.kind == "conv":
+            ci, co = w.shape[3], w.shape[4]
+            if (
+                isinstance(x, _PK)
+                and layer.ks == 3
+                and layer.stride == 1
+                and ci == co == x.dims[3]
+            ):
+                x = _PK(PC.conv_s1_packed(x.x3, w, b, x.dims), x.dims)
+            elif (
+                isinstance(x, _PK)
+                and layer.ks == 3
+                and layer.stride == 2
+                and P_.s2_supported(ci, co, *x.dims[:3])
+                and ci == x.dims[3]
+            ):
+                d, h, wd, _ = x.dims
+                x = _PK(
+                    P_.conv_s2_down(x.x3, w, b, x.dims),
+                    (d // 2, h // 2, wd // 2, co),
+                )
+            elif isinstance(x, _PK) and layer.ks == 1 and layer.stride == 1:
+                x = P_.head_conv_packed(x.x3, w, b, x.dims)
+            elif (
+                not isinstance(x, _PK)
+                and layer.ks == 3
+                and layer.stride == 1
+                and x.shape[0] == 1
+                and x.shape[-1] == 1
+                and P_.entry_supported(1, co, *x.shape[1:4])
+            ):
+                d, h, wd = x.shape[1:4]
+                x = _PK(P_.conv_entry(x, w, b, (d, h, wd, 1)), (d, h, wd, co))
+            else:
+                x = _conv(_ensure5(x), w, b, layer.stride, layer.ks)
+        elif layer.kind == "conv_trans":
+            if isinstance(x, _PK) and P_.trans_supported(
+                x.dims[3], w.shape[4], *x.dims[:3]
+            ):
+                d, h, wd, ci = x.dims
+                x = _PK(
+                    P_.conv_trans2x_up(x.x3, w, b, x.dims),
+                    (2 * d, 2 * h, 2 * wd, w.shape[4]),
+                )
+            else:
+                x = _conv_trans2x(_ensure5(x), w, b)
+        elif layer.kind == "max_pool":
+            x = _max_pool2(_ensure5(x))
+        elif layer.kind == "upsample":
+            x = _upsample2(_ensure5(x))
+        elif layer.kind == "norm":
+            if isinstance(x, _PK):
+                x = _PK(
+                    P_.instance_norm_packed(
+                        x.x3,
+                        params[f"{mod_name}.{i}.w"],
+                        params[f"{mod_name}.{i}.b"],
+                        x.dims[3],
+                    ),
+                    x.dims,
+                )
+            else:
+                x = _instance_norm(
+                    x, params[f"{mod_name}.{i}.w"], params[f"{mod_name}.{i}.b"]
+                )
+        elif layer.kind == "bnorm":
+            raise _PackedUnsupported
+        if layer.act:
+            if isinstance(x, _PK):
+                x = _PK(_act(x.x3, layer.act), x.dims)
+            else:
+                x = _act(x, layer.act)
+    return x
+
+
+class _PackedUnsupported(Exception):
+    pass
+
+
+def forward_packed(spec, params, x, compute_dtype=jnp.bfloat16):
+    """Inference forward in the packed dataflow.  ``x``: (1, D, H, W, Cin).
+    Returns the deep-supervision logits list (level 0 full-res, float32),
+    numerically matching ``forward(train=False)`` / unet.cpp:168-193."""
+    x = x.astype(compute_dtype)
+    n_enc = len(spec.encoders)
+    skips = []
+    # inference-mode context for the XLA-fallback convs (entry 1->C,
+    # C>=128 levels): z-chunking exists to bound BACKWARD transients and
+    # serializes the conv 8-way here (measured 53 ms on the entry conv)
+    with no_conv_chunking():
+        for level in range(n_enc):
+            x = _run_level_packed(
+                params, f"encode{level}", spec.encoders[level], x
+            )
+            if level < n_enc - 1:
+                skips.append(x)
+        results: list = [None] * len(spec.decoders)
+        for level in range(n_enc - 2, -1, -1):
+            x = (skips[level], x)
+            skips[level] = None
+            x = _run_level_packed(
+                params, f"decode{level}", spec.decoders[level], x
+            )
+            if spec.heads[level]:
+                r = _run_level_packed(
+                    params, f"output{level}", spec.heads[level], x
+                )
+                results[level] = _ensure5(r).astype(jnp.float32)
+            if spec.tails[level]:
+                x = _run_level_packed(
+                    params, f"decode_tail{level}", spec.tails[level], x
+                )
+    return results
+
+
+# ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
@@ -644,6 +844,18 @@ def forward(
     state = state or {}
     x = x.astype(compute_dtype)
     new_state: dict = {}
+
+    if (
+        not train
+        and _PALLAS_CONV_ENABLED
+        and x.shape[0] == 1
+        and not state
+        and jax.default_backend() == "tpu"
+    ):
+        try:
+            return forward_packed(spec, params, x, compute_dtype), {}
+        except _PackedUnsupported:
+            pass
 
     if not train:
         # conv z-chunking exists to bound BACKWARD transients; forward-only

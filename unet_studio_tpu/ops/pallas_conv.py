@@ -381,6 +381,22 @@ def _make_fwd_call(d, h, nb, tz, th, dtype):
     )
 
 
+def conv_s1_packed(x3, w, b, dims):
+    """Packed-form forward: x3 (D, H*nb, 128) -> (D, H*nb, 128).
+    No VJP — the training path uses conv3d_s1 below."""
+    d, h, wd, ci = dims
+    bx = _LANE // ci
+    nb = wd // bx
+    dtype = x3.dtype
+    tz, th = _pick_tiles(d, h, nb, jnp.dtype(dtype).itemsize)
+    w2c = _build_w2_center(w, bx, dtype)
+    w2h = _build_w2_halo(w, bx, dtype)
+    bias2 = jnp.tile(b.astype(jnp.float32), bx)[None]  # (1, N)
+    masks = _edge_masks(th, nb, ci, dtype)
+    call = _make_fwd_call(d, h, nb, tz, th, dtype)
+    return call(masks, bias2, w2c, w2h, x3)  # (d, h*nb, 128) row-major
+
+
 def conv3d_s1_fwd_impl(x, w, b):
     """x: (D,H,W,C); w: (3,3,3,C,C); b: (C,) -> (D,H,W,C).
 
@@ -389,15 +405,8 @@ def conv3d_s1_fwd_impl(x, w, b):
     d, h, wd, ci = x.shape
     bx = _LANE // ci
     nb = wd // bx
-    dtype = x.dtype
-    tz, th = _pick_tiles(d, h, nb, jnp.dtype(dtype).itemsize)
     x3 = x.reshape(d, h * nb, _LANE)  # free view, no copy
-    w2c = _build_w2_center(w, bx, dtype)
-    w2h = _build_w2_halo(w, bx, dtype)
-    bias2 = jnp.tile(b.astype(jnp.float32), bx)[None]  # (1, N)
-    masks = _edge_masks(th, nb, ci, dtype)
-    call = _make_fwd_call(d, h, nb, tz, th, dtype)
-    y = call(masks, bias2, w2c, w2h, x3)  # (d, h*nb, 128) == dhwc row-major
+    y = conv_s1_packed(x3, w, b, (d, h, wd, ci))
     return y.reshape(d, h, wd, ci)
 
 
