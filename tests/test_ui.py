@@ -99,3 +99,104 @@ class TestServer:
         out = str(tmp_path / "out.nii.gz")
         j = post("/api/eval/save", {"path": out, "output_type": 0})
         assert j["saved"] == out
+
+    def test_options_endpoint(self, server_url):
+        j = json.loads(urllib.request.urlopen(server_url + "/api/options").read())
+        ids = {o["id"] for o in j["options"]}
+        assert {"cropping", "noise_mag", "rotation_x"} <= ids
+        pp = {o["id"] for o in j["postproc"] if o["kind"] == "button"}
+        assert "defragment_each" in pp and "gaussian_smoothing" in pp
+
+    def test_postproc_action_and_contrast(self, server_url, tmp_path, rng):
+        # runs after test_eval_flow in class order: a case is loaded
+        def post(path, body):
+            req = urllib.request.Request(
+                server_url + path, data=json.dumps(body).encode(), method="POST"
+            )
+            return json.loads(urllib.request.urlopen(req).read())
+
+        j = post("/api/eval/action", {"cmd": "gaussian_smoothing"})
+        assert j["ok"]
+        j = post("/api/eval/action", {"cmd": "binarize", "param1": 0.5})
+        assert j["ok"]
+        png = urllib.request.urlopen(
+            server_url
+            + "/api/eval/slice?axis=0&index=8&view=input&vmin=0.2&vmax=0.8"
+        ).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_new_network_and_census(self, server_url, tmp_path, rng):
+        from unet_studio_tpu.io.nifti import write_nifti
+
+        d = tmp_path / "bids"
+        d.mkdir()
+        img = rng.random((12, 12, 12)).astype(np.float32)
+        lab = (rng.random((12, 12, 12)) * 3).astype(np.int16)
+        write_nifti(str(d / "tpl-A_T1w.nii.gz"), img, is_mni=True)
+        write_nifti(str(d / "tpl-A_dseg.nii.gz"), lab, is_mni=True)
+
+        def post(path, body):
+            req = urllib.request.Request(
+                server_url + path, data=json.dumps(body).encode(), method="POST"
+            )
+            return json.loads(urllib.request.urlopen(req).read())
+
+        j = json.loads(
+            urllib.request.urlopen(
+                server_url + "/api/train/label_census?bids=" + str(d)
+            ).read()
+        )
+        assert j["max_label"] == int(lab.max())
+        assert j["pairs"][0]["template"] is True
+
+        mp = str(tmp_path / "nn.nz")
+        j = post(
+            "/api/train/new_network",
+            {"model": mp, "in_count": 1, "out_count": j["suggested_out_count"]},
+        )
+        assert j["out_count"] == int(lab.max()) + 1
+        import os
+
+        assert os.path.exists(mp)
+
+    def test_reorder_channels(self, server_url, tmp_path):
+        def post(path, body):
+            req = urllib.request.Request(
+                server_url + path, data=json.dumps(body).encode(), method="POST"
+            )
+            return json.loads(urllib.request.urlopen(req).read())
+
+        # model with out_count 3 is loaded from test_eval_flow
+        j = post("/api/model/reorder", {"order": [0, 2, 1]})
+        assert j["out_count"] == 3
+
+    def test_pause_without_engine_errors(self, server_url):
+        req = urllib.request.Request(
+            server_url + "/api/train/pause", data=b"{}", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+
+    def test_console_run(self, server_url):
+        import time
+
+        def post(path, body):
+            req = urllib.request.Request(
+                server_url + path, data=json.dumps(body).encode(), method="POST"
+            )
+            return json.loads(urllib.request.urlopen(req).read())
+
+        j = post("/api/console/run", {"cmd": "--action evaluate"})
+        assert "started" in j
+        # the CLI errors (no model) into the console ring
+        for _ in range(40):
+            lines = json.loads(
+                urllib.request.urlopen(server_url + "/api/console").read()
+            )["lines"]
+            if any("exited with code" in ln for ln in lines):
+                break
+            time.sleep(0.25)
+        assert any("exited with code" in ln for ln in lines)

@@ -66,6 +66,7 @@ class AppState:
         self.train_engine = None
         self.train_thread: threading.Thread | None = None
         self.train_pair = None  # (image, label) for aug preview
+        self.atlas = None  # AtlasParcellation (evaluate-tab selection)
         self.lock = threading.Lock()
 
     # ---------------- evaluate ----------------
@@ -100,7 +101,15 @@ class AppState:
         self.case = case
         return {"dims": list(case.image_dim), "path": case.path}
 
-    def eval_slice(self, axis: int, index: int, overlay: int, view: str) -> bytes:
+    def eval_slice(
+        self,
+        axis: int,
+        index: int,
+        overlay: int,
+        view: str,
+        vmin: float = 0.0,
+        vmax: float = 1.0,
+    ) -> bytes:
         case = self.case
         if case is None:
             raise RuntimeError("no evaluated case")
@@ -119,7 +128,28 @@ class AppState:
         index = int(np.clip(index, 0, vol.shape[axis] - 1))
         sl = np.take(vol, index, axis=axis)
         lsl = None if lab is None else np.take(lab, index, axis=axis)
-        return render_slice(sl, lsl)
+        return render_slice(sl, lsl, vmin=vmin, vmax=vmax)
+
+    def eval_action(self, cmd: str, param1: float, param2: float) -> dict:
+        """Interactive post-processing action on the evaluated case
+        (postproc.txt ids; mainwindow_evaluation button wiring)."""
+        if self.case is None or self.eval_engine is None:
+            raise RuntimeError("no evaluated case")
+        self.eval_engine.proc_action(self.case, cmd, param1, param2)
+        return {"ok": True, "cmd": cmd}
+
+    def load_atlas(self, template: str, atlas: str) -> dict:
+        """Template/atlas selection on the evaluate tab
+        (mainwindow.cpp:66-75; mainwindow_evaluation.cpp:100-121): loads
+        the tissue template + atlas, builds/caches the corrected atlas,
+        reports the parcellation region count."""
+        from ..engine.atlas import AtlasParcellation
+
+        parc = AtlasParcellation()
+        if not parc.load_template(template) or not parc.load_atlas(atlas):
+            raise RuntimeError(parc.error_msg or "atlas load failed")
+        self.atlas = parc
+        return {"regions": parc.atlas_region_count}
 
     def save_result(self, out_path: str, output_type: int) -> dict:
         if self.case is None or self.eval_engine is None:
@@ -209,6 +239,103 @@ class AppState:
             self.train_engine.stop()
         return {"stopped": True}
 
+    def pause_training(self, resume: bool = False) -> dict:
+        """Cooperative pause/resume (train.hpp:99 pause flag)."""
+        e = self.train_engine
+        if e is None:
+            raise RuntimeError("no training run")
+        e.resume() if resume else e.pause()
+        return {"paused": e.paused}
+
+    def new_network(self, cfg: dict) -> dict:
+        """New-network dialog analog (mainwindow_training.cpp:146-182):
+        create a model from an architecture string + channel counts and
+        save it where training will pick it up."""
+        from ..models.dsl import default_architecture
+        from ..models.serialize import save_model
+        from ..models.unet3d import UNet3d
+
+        out_count = int(cfg.get("out_count", 2))
+        arch = cfg.get("architecture") or default_architecture(out_count)
+        model = UNet3d.create(int(cfg.get("in_count", 1)), out_count, arch)
+        if cfg.get("dim"):
+            model.dim = tuple(int(v) for v in cfg["dim"])
+        if cfg.get("voxel_size"):
+            model.voxel_size = np.asarray(cfg["voxel_size"], np.float32)
+        path = cfg.get("model", "new_model.nz")
+        if not path.endswith("nz"):
+            path += ".nz"
+        save_model(path, model, sloped=False)
+        return {
+            "model": path,
+            "in_count": model.in_count,
+            "out_count": model.out_count,
+            "architecture": model.architecture,
+        }
+
+    def label_census(self, bids: str) -> dict:
+        """Scan the matched pairs' labels: per-pair max label + template
+        flag (the label census shown by the training tab,
+        mainwindow_training.cpp:253-255)."""
+        from ..data.bids import get_bids_pairs, read_label_info
+
+        images, labels = get_bids_pairs(bids)
+        rows = []
+        max_label = 0
+        for img, lbl in zip(images, labels):
+            try:
+                is_template, mx = read_label_info(lbl)
+            except Exception as e:  # noqa: BLE001
+                rows.append({"image": img, "label": lbl, "error": str(e)})
+                continue
+            max_label = max(max_label, mx)
+            rows.append(
+                {
+                    "image": os.path.basename(img),
+                    "label": os.path.basename(lbl),
+                    "max_label": mx,
+                    "template": is_template,
+                }
+            )
+        return {"pairs": rows, "max_label": max_label,
+                "suggested_out_count": max_label + 1}
+
+    def reorder_channels(self, order: list[int]) -> dict:
+        """Output-channel reorder (mainwindow_training.cpp:721-779) on the
+        loaded model via models/surgery.py."""
+        from ..models.surgery import reorder_output_channels
+
+        if self.model is None:
+            raise RuntimeError("load a model first")
+        self.model = reorder_output_channels(self.model, [int(v) for v in order])
+        self.eval_engine = None
+        return {"out_count": self.model.out_count}
+
+    def console_run(self, cmd: str) -> dict:
+        """Embedded command line: re-parse a CLI argument string and run it
+        on a worker thread with output captured to the console ring
+        (console.cpp:139-154)."""
+        import shlex
+
+        from .. import cli
+
+        argv = shlex.split(cmd)
+        if argv and argv[0] in ("unet-studio-tpu", "unet_studio_tpu"):
+            argv = argv[1:]
+
+        def run():
+            with redirect_stdout(self.log), redirect_stderr(self.log):
+                try:
+                    rc = cli.main(argv)
+                    self.log.write(f"[command exited with code {rc}]\n")
+                except SystemExit as e:
+                    self.log.write(f"[command exited with code {e.code}]\n")
+                except Exception:  # noqa: BLE001
+                    self.log.write(traceback.format_exc())
+
+        threading.Thread(target=run, daemon=True).start()
+        return {"started": cmd}
+
     def aug_preview(self, seed: int, axis: int) -> bytes:
         """Re-run simulate_modality + augmentation with a chosen seed on the
         first training pair (mainwindow_training.cpp:571-625 analog)."""
@@ -281,8 +408,30 @@ def make_handler(state: AppState):
                         int(q.get("index", 0)),
                         int(q.get("overlay", 1)),
                         q.get("view", "input"),
+                        float(q.get("vmin", 0.0)),
+                        float(q.get("vmax", 1.0)),
                     )
                     self._send(200, png, "image/png")
+                elif u.path == "/api/options":
+                    from ..config.options import OPTION_TABLE, POSTPROC_TABLE
+
+                    def row(o):
+                        return {
+                            "category": o.category, "title": o.title,
+                            "id": o.id, "kind": o.kind, "default": o.default,
+                            "min": o.minimum, "max": o.maximum,
+                            "step": o.step, "decimals": o.decimals,
+                            "hint": o.hint,
+                        }
+
+                    self._json(
+                        {
+                            "options": [row(o) for o in OPTION_TABLE],
+                            "postproc": [row(o) for o in POSTPROC_TABLE],
+                        }
+                    )
+                elif u.path == "/api/train/label_census":
+                    self._json(state.label_census(q["bids"]))
                 elif u.path == "/api/train/status":
                     self._json(state.train_status())
                 elif u.path == "/api/aug/preview":
@@ -312,6 +461,26 @@ def make_handler(state: AppState):
                     self._json(state.start_training(body))
                 elif u.path == "/api/train/stop":
                     self._json(state.stop_training())
+                elif u.path == "/api/train/pause":
+                    self._json(state.pause_training(resume=False))
+                elif u.path == "/api/train/resume":
+                    self._json(state.pause_training(resume=True))
+                elif u.path == "/api/train/new_network":
+                    self._json(state.new_network(body))
+                elif u.path == "/api/eval/action":
+                    self._json(
+                        state.eval_action(
+                            body["cmd"],
+                            float(body.get("param1", 0.0)),
+                            float(body.get("param2", 0.0)),
+                        )
+                    )
+                elif u.path == "/api/eval/atlas":
+                    self._json(state.load_atlas(body["template"], body["atlas"]))
+                elif u.path == "/api/model/reorder":
+                    self._json(state.reorder_channels(body["order"]))
+                elif u.path == "/api/console/run":
+                    self._json(state.console_run(body["cmd"]))
                 else:
                     self._json({"error": "not found"}, 404)
             except Exception as e:  # noqa: BLE001
