@@ -115,3 +115,176 @@ def test_forward_packed_matches_forward(rng):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"level {lvl}"
             )
+
+
+def test_s1_packed_grad(rng):
+    from unet_studio_tpu.ops.pallas_conv import conv_s1_p
+
+    d, h, w_, c = 8, 8, 64, 16
+    dims = (d, h, w_, c)
+    x = jnp.asarray(rng.standard_normal((d, h, w_, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, c, c)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((d, h, w_, c)), jnp.float32)
+    g3 = packed.pack(g)
+
+    def loss_p(x5, w, b):
+        return jnp.sum(conv_s1_p(packed.pack(x5), w, b, dims) * g3)
+
+    def loss_r(x5, w, b):
+        return jnp.sum(_conv5(x5, w, 1) * g)
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(x, w, b)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(x, w, b)
+    for name, a, r in zip(("dx", "dw", "db"), gp, gr):
+        if name == "db":
+            r = g.sum((0, 1, 2))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-4, err_msg=name
+        )
+
+
+def test_instance_norm_packed_grad(rng):
+    from unet_studio_tpu.models.unet3d import _instance_norm
+
+    d, h, w_, c = 4, 8, 32, 16
+    x = jnp.asarray(rng.standard_normal((d, h, w_, c)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((d, h, w_, c)), jnp.float32)
+
+    def loss_p(x, s, b):
+        return jnp.sum(
+            packed.instance_norm_packed(packed.pack(x), s, b, c) * packed.pack(g)
+        )
+
+    def loss_r(x, s, b):
+        return jnp.sum(_instance_norm(x[None], s, b)[0] * g)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, scale, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, scale, bias)
+    for name, a, r in zip(("dx", "dscale", "dbias"), gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=5e-4, err_msg=name
+        )
+
+
+def test_trans_packed_grad(rng):
+    from unet_studio_tpu.models.unet3d import _conv_trans2x
+
+    d, h, w_, c = 4, 8, 16, 32
+    ci, co = 2 * c, c
+    dims = (d, h, w_, ci)
+    x = jnp.asarray(rng.standard_normal((d, h, w_, ci)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((ci, 2, 2, 2, co)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(co), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((2 * d, 2 * h, 2 * w_, co)), jnp.float32)
+    g3 = packed.pack(g)
+
+    def loss_p(x5, w, b):
+        return jnp.sum(packed.conv_trans2x_p(packed.pack(x5), w, b, dims) * g3)
+
+    def loss_r(x5, w, b):
+        return jnp.sum(_conv_trans2x(x5[None], w, b)[0] * g)
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(x, w, b)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(x, w, b)
+    for name, a, r in zip(("dx", "dw", "db"), gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-4, rtol=1e-5, err_msg=name
+        )
+
+
+def test_s2_packed_grad(rng):
+    d, h, w_, c = 8, 16, 64, 16
+    dims = (d, h, w_, c)
+    x = jnp.asarray(rng.standard_normal((d, h, w_, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, c, 2 * c)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(2 * c), jnp.float32)
+    g = jnp.asarray(
+        rng.standard_normal((d // 2, h // 2, w_ // 2, 2 * c)), jnp.float32
+    )
+    g3 = packed.pack(g)
+
+    def loss_p(x5, w, b):
+        return jnp.sum(packed.conv_s2_p(packed.pack(x5), w, b, dims) * g3)
+
+    def loss_r(x5, w, b):
+        return jnp.sum((_conv5(x5, w, 2) + b) * g)
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(x, w, b)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(x, w, b)
+    for name, a, r in zip(("dx", "dw", "db"), gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-4, rtol=1e-5, err_msg=name
+        )
+
+
+def test_entry_packed_parity_and_grad(rng):
+    d, h, w_, co = 8, 16, 64, 16
+    dims = (d, h, w_, 1)
+    x = jnp.asarray(rng.standard_normal((1, d, h, w_, 1)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 1, co)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(co), jnp.float32)
+    y3 = jax.jit(lambda x: packed.conv_entry(x, w, b, dims))(x)
+    y = packed.unpack(y3, (d, h, w_, co))
+    yr = _conv5(x[0], w, 1) + b
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=3e-5)
+
+    g = jnp.asarray(rng.standard_normal((d, h, w_, co)), jnp.float32)
+    g3 = packed.pack(g)
+
+    def loss_p(x, w, b):
+        return jnp.sum(packed.conv_entry_p(x, w, b, dims) * g3)
+
+    def loss_r(x, w, b):
+        return jnp.sum((_conv5(x[0], w, 1) + b) * g)
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(x, w, b)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(x, w, b)
+    for name, a, r in zip(("dx", "dw", "db"), gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-4, rtol=1e-5, err_msg=name
+        )
+
+
+def test_forward_packed_train_grads(rng):
+    """Parameter gradients through the full packed forward (train mode,
+    with and without remat) must match the standard forward's."""
+    from unet_studio_tpu.models.unet3d import UNet3d, forward, forward_packed
+
+    model = UNet3d.create(1, 4, PACKED_ARCH, seed=0)
+    spec = model.spec
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 64, 1)), jnp.float32)
+    params = {k: jnp.asarray(v) for k, v in model.params.items()}
+    gs = [
+        jnp.asarray(rng.standard_normal((1, 16, 16, 64, 4)), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, 8, 8, 32, 4)), jnp.float32),
+    ]
+
+    def loss_ref(params):
+        outs, _ = forward(spec, params, x, train=True, compute_dtype=jnp.float32)
+        return sum(jnp.sum(o * g) for o, g in zip(outs, gs) if o is not None)
+
+    def loss_pk(params, remat):
+        outs = forward_packed(
+            spec, params, x, compute_dtype=jnp.float32, train=True, remat=remat
+        )
+        return sum(jnp.sum(o * g) for o, g in zip(outs, gs) if o is not None)
+
+    gr = jax.grad(loss_ref)(params)
+    for remat in (False, True):
+        gp = jax.grad(lambda p, r=remat: loss_pk(p, r))(params)
+        for k in gr:
+            # conv biases feeding instance norms have a mathematically
+            # ZERO gradient (the norm cancels constant shifts); both
+            # paths leave ~1e-3 fp32 cancellation residue there, so the
+            # comparison gets an absolute-noise allowance on top of the
+            # relative tolerance
+            scale = max(float(jnp.max(jnp.abs(gr[k]))), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(gp[k]),
+                np.asarray(gr[k]),
+                atol=5e-4 * scale + 2e-3,
+                err_msg=f"{k} remat={remat}",
+            )

@@ -634,13 +634,21 @@ def _run_sequential(params, state, mod_name, layers, x, train: bool):
 
 
 class _PK:
-    """Packed-domain carrier: flat volume + its logical (D,H,W,C)."""
+    """Packed-domain carrier: flat volume + its logical (D,H,W,C).
+    Registered as a pytree so jax.checkpoint/grad thread through it."""
 
     __slots__ = ("x3", "dims")
 
     def __init__(self, x3, dims):
         self.x3 = x3
         self.dims = dims
+
+
+jax.tree_util.register_pytree_node(
+    _PK,
+    lambda pk: ((pk.x3,), pk.dims),
+    lambda dims, xs: _PK(xs[0], dims),
+)
 
 
 def _pk_able(dims) -> bool:
@@ -696,8 +704,8 @@ def _run_level_packed(params, mod_name, layers, x):
                 and w.shape[4] == a.dims[3]
             ):
                 ca = a.dims[3]
-                y3 = PC.conv_s1_packed(a.x3, w[:, :, :, :ca, :], b, a.dims)
-                y3 = y3 + PC.conv_s1_packed(
+                y3 = PC.conv_s1_p(a.x3, w[:, :, :, :ca, :], b, a.dims)
+                y3 = y3 + PC.conv_s1_p(
                     bp.x3, w[:, :, :, ca:, :], jnp.zeros_like(b), bp.dims
                 )
                 x = _PK(_act(y3, layer.act), a.dims)
@@ -712,7 +720,7 @@ def _run_level_packed(params, mod_name, layers, x):
                 and layer.stride == 1
                 and ci == co == x.dims[3]
             ):
-                x = _PK(PC.conv_s1_packed(x.x3, w, b, x.dims), x.dims)
+                x = _PK(PC.conv_s1_p(x.x3, w, b, x.dims), x.dims)
             elif (
                 isinstance(x, _PK)
                 and layer.ks == 3
@@ -722,7 +730,7 @@ def _run_level_packed(params, mod_name, layers, x):
             ):
                 d, h, wd, _ = x.dims
                 x = _PK(
-                    P_.conv_s2_down(x.x3, w, b, x.dims),
+                    P_.conv_s2_p(x.x3, w, b, x.dims),
                     (d // 2, h // 2, wd // 2, co),
                 )
             elif isinstance(x, _PK) and layer.ks == 1 and layer.stride == 1:
@@ -736,7 +744,7 @@ def _run_level_packed(params, mod_name, layers, x):
                 and P_.entry_supported(1, co, *x.shape[1:4])
             ):
                 d, h, wd = x.shape[1:4]
-                x = _PK(P_.conv_entry(x, w, b, (d, h, wd, 1)), (d, h, wd, co))
+                x = _PK(P_.conv_entry_p(x, w, b, (d, h, wd, 1)), (d, h, wd, co))
             else:
                 x = _conv(_ensure5(x), w, b, layer.stride, layer.ks)
         elif layer.kind == "conv_trans":
@@ -745,7 +753,7 @@ def _run_level_packed(params, mod_name, layers, x):
             ):
                 d, h, wd, ci = x.dims
                 x = _PK(
-                    P_.conv_trans2x_up(x.x3, w, b, x.dims),
+                    P_.conv_trans2x_p(x.x3, w, b, x.dims),
                     (2 * d, 2 * h, 2 * wd, w.shape[4]),
                 )
             else:
@@ -783,39 +791,47 @@ class _PackedUnsupported(Exception):
     pass
 
 
-def forward_packed(spec, params, x, compute_dtype=jnp.bfloat16):
-    """Inference forward in the packed dataflow.  ``x``: (1, D, H, W, Cin).
+def forward_packed(
+    spec, params, x, compute_dtype=jnp.bfloat16, *, train=False, remat=False
+):
+    """Forward in the packed dataflow.  ``x``: (1, D, H, W, Cin).
     Returns the deep-supervision logits list (level 0 full-res, float32),
-    numerically matching ``forward(train=False)`` / unet.cpp:168-193."""
+    numerically matching ``forward()`` / unet.cpp:168-193.  Fully
+    differentiable (the packed primitives carry hand-written VJPs);
+    ``remat=True`` checkpoints each level."""
+    import contextlib
+
     x = x.astype(compute_dtype)
     n_enc = len(spec.encoders)
+
+    def seq(mod_name, layers, x):
+        def body(params, x):
+            return _run_level_packed(params, mod_name, layers, x)
+
+        if remat:
+            body = jax.checkpoint(body)
+        return body(params, x)
+
     skips = []
-    # inference-mode context for the XLA-fallback convs (entry 1->C,
-    # C>=128 levels): z-chunking exists to bound BACKWARD transients and
-    # serializes the conv 8-way here (measured 53 ms on the entry conv)
-    with no_conv_chunking():
+    # inference mode lifts the z-chunking on the XLA-fallback convs
+    # (chunking bounds BACKWARD transients; it serializes the forward
+    # 8-way).  In training the fallbacks keep it.
+    ctx = contextlib.nullcontext() if train else no_conv_chunking()
+    with ctx:
         for level in range(n_enc):
-            x = _run_level_packed(
-                params, f"encode{level}", spec.encoders[level], x
-            )
+            x = seq(f"encode{level}", spec.encoders[level], x)
             if level < n_enc - 1:
                 skips.append(x)
         results: list = [None] * len(spec.decoders)
         for level in range(n_enc - 2, -1, -1):
             x = (skips[level], x)
             skips[level] = None
-            x = _run_level_packed(
-                params, f"decode{level}", spec.decoders[level], x
-            )
+            x = seq(f"decode{level}", spec.decoders[level], x)
             if spec.heads[level]:
-                r = _run_level_packed(
-                    params, f"output{level}", spec.heads[level], x
-                )
+                r = seq(f"output{level}", spec.heads[level], x)
                 results[level] = _ensure5(r).astype(jnp.float32)
             if spec.tails[level]:
-                x = _run_level_packed(
-                    params, f"decode_tail{level}", spec.tails[level], x
-                )
+                x = seq(f"decode_tail{level}", spec.tails[level], x)
     return results
 
 
@@ -846,14 +862,19 @@ def forward(
     new_state: dict = {}
 
     if (
-        not train
-        and _PALLAS_CONV_ENABLED
+        _PALLAS_CONV_ENABLED
         and x.shape[0] == 1
         and not state
         and jax.default_backend() == "tpu"
     ):
         try:
-            return forward_packed(spec, params, x, compute_dtype), {}
+            return (
+                forward_packed(
+                    spec, params, x, compute_dtype,
+                    train=train, remat=remat and train,
+                ),
+                {},
+            )
         except _PackedUnsupported:
             pass
 

@@ -429,6 +429,7 @@ def conv_trans2x_up(x3, w, b, dims):
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def instance_norm_packed(x3, scale, bias, c: int, eps: float = 1e-5):
     """InstanceNorm3d(affine) on the packed form.
 
@@ -452,6 +453,51 @@ def instance_norm_packed(x3, scale, bias, c: int, eps: float = 1e-5):
         bias.astype(jnp.float32) - mean * inv * scale.astype(jnp.float32), bx
     ).astype(x3.dtype)
     return x3 * a + b
+
+
+def _in_packed_stats(x3, c, eps):
+    bx = _LANE // c
+    n = x3.shape[0] * x3.shape[1] * bx
+    lane_sum = jnp.sum(x3, axis=(0, 1), dtype=jnp.float32)
+    mean = lane_sum.reshape(bx, c).sum(0) / n
+    mean_l = jnp.tile(mean, bx)
+    lane_sq = jnp.sum(jnp.square(x3.astype(jnp.float32) - mean_l), axis=(0, 1))
+    var = lane_sq.reshape(bx, c).sum(0) / n
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    return mean, inv, n
+
+
+def _in_packed_fwd(x3, scale, bias, c, eps):
+    return instance_norm_packed(x3, scale, bias, c, eps), (x3, scale)
+
+
+def _in_packed_bwd(c, eps, res, g3):
+    """Lane-wise analog of the 5D instance-norm VJP (unet3d.py):
+    dx = inv*scale * (g - mean(g) - xhat * mean(g*xhat))."""
+    x3, scale = res
+    bx = _LANE // c
+    mean, inv, n = _in_packed_stats(x3, c, eps)
+    mean_l = jnp.tile(mean, bx).astype(x3.dtype)
+    inv_l = jnp.tile(inv, bx).astype(x3.dtype)
+    xhat = (x3 - mean_l) * inv_l
+    g_lane = jnp.sum(g3, axis=(0, 1), dtype=jnp.float32)
+    g_mean = g_lane.reshape(bx, c).sum(0) / n
+    gx_lane = jnp.sum(
+        g3.astype(jnp.float32) * xhat.astype(jnp.float32), axis=(0, 1)
+    )
+    gx_mean = gx_lane.reshape(bx, c).sum(0) / n
+    coef = jnp.tile(inv * scale.astype(jnp.float32), bx).astype(x3.dtype)
+    dx = coef * (
+        g3
+        - jnp.tile(g_mean, bx).astype(x3.dtype)
+        - xhat * jnp.tile(gx_mean, bx).astype(x3.dtype)
+    )
+    dscale = (gx_mean * n).astype(jnp.float32)
+    dbias = (g_mean * n).astype(jnp.float32)
+    return dx, dscale, dbias
+
+
+instance_norm_packed.defvjp(_in_packed_fwd, _in_packed_bwd)
 
 
 def head_conv_packed(x3, w, b, dims):
@@ -558,3 +604,522 @@ def conv_entry(x5, w, b, dims):
     masks = _entry_masks(th, nb, bx, dtype)
     call = _make_fwd_call(d, h, nb, tz, th, dtype)
     return call(masks, bias2, wc, wh, x3e)
+
+
+# ---------------------------------------------------------------------------
+# trans conv VJP: dx is 4 transposed matmuls over the parity view of g
+# (no halo — k2/s2 covers each parity exactly); dw/db are transpose
+# matmuls accumulated over the sequential grid.
+# ---------------------------------------------------------------------------
+
+
+def _trans_dx_kernel(wt_ref, g6_ref, o_ref, *, tz, th, nb):
+    R = tz * th * nb
+    prec = _mm_precision(g6_ref.dtype)
+    acc = jnp.zeros((R, _LANE), jnp.float32)
+    for rz in range(2):
+        for ry in range(2):
+            gv = g6_ref[:, rz, :, ry, :, :].reshape(R, _LANE)
+            acc = acc + jnp.dot(
+                gv, wt_ref[rz, ry],
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+    o_ref[:] = acc.reshape(tz, th * nb, _LANE).astype(o_ref.dtype)
+
+
+def _trans_dw_kernel(x_ref, g6_ref, dw_ref, *, tz, th, nb):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    R = tz * th * nb
+    prec = _mm_precision(x_ref.dtype)
+    dn = (((0,), (0,)), ((), ()))
+    xv = x_ref[:].reshape(R, _LANE)
+    for rz in range(2):
+        for ry in range(2):
+            gv = g6_ref[:, rz, :, ry, :, :].reshape(R, _LANE)
+            dw_ref[rz, ry] += jax.lax.dot_general(
+                xv, gv, dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+
+def _trans_extract_dw(dm, bxi, ci, co):
+    """(2,2,128,128) packed grads -> (Ci,2,2,2,Co)."""
+    dw = jnp.zeros((ci, 2, 2, 2, co), jnp.float32)
+    for rz in range(2):
+        for ry in range(2):
+            for rx in range(2):
+                acc = None
+                for po in range(rx, 2 * bxi, 2):
+                    pi = po // 2
+                    blk = dm[rz, ry, pi * ci : (pi + 1) * ci, po * co : (po + 1) * co]
+                    acc = blk if acc is None else acc + blk
+                dw = dw.at[:, rz, ry, rx, :].set(acc)
+    return dw
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv_trans2x_p(x3, w, b, dims):
+    """conv_trans2x_up with the hand-written VJP (training primitive)."""
+    return conv_trans2x_up(x3, w, b, dims)
+
+
+def _trans_p_fwd(x3, w, b, dims):
+    return conv_trans2x_up(x3, w, b, dims), (x3, w)
+
+
+def _trans_p_bwd(dims, res, g3):
+    x3, w = res
+    d, h, wd, ci = dims
+    bxi = _LANE // ci
+    nb = wd // bxi
+    co = w.shape[4]
+    g3 = g3.astype(x3.dtype)
+    g6 = g3.reshape(d, 2, h, 2, nb, _LANE)
+    tz = _pick_tile(d, 8)
+    th = _pick_tile(h, 8)
+    gz, gy = d // tz, h // th
+    w2 = _trans_mats(w, bxi, x3.dtype)
+    wt = jnp.swapaxes(w2, 2, 3)  # transposed matmuls for dx
+    dx3 = pl.pallas_call(
+        partial(_trans_dx_kernel, tz=tz, th=th, nb=nb),
+        grid=(gz * gy,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tz, 2, th, 2, nb, _LANE),
+                lambda t, gy=gy: (t // gy, 0, t % gy, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tz, th * nb, _LANE),
+            lambda t, gy=gy: (t // gy, t % gy, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((d, h * nb, _LANE), x3.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=_interpret(),
+    )(wt, g6)
+    dm = pl.pallas_call(
+        partial(_trans_dw_kernel, tz=tz, th=th, nb=nb),
+        grid=(gz * gy,),
+        in_specs=[
+            pl.BlockSpec(
+                (tz, th * nb, _LANE),
+                lambda t, gy=gy: (t // gy, t % gy, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tz, 2, th, 2, nb, _LANE),
+                lambda t, gy=gy: (t // gy, 0, t % gy, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, 2, _LANE, _LANE), lambda t: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, 2, _LANE, _LANE), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=_interpret(),
+    )(x3, g6)
+    dw = _trans_extract_dw(dm, bxi, ci, co)
+    db = jnp.sum(g3.astype(jnp.float32), axis=(0, 1))
+    db = db.reshape(2 * bxi, co).sum(0)
+    return dx3, dw, db
+
+
+conv_trans2x_p.defvjp(_trans_p_fwd, _trans_p_bwd)
+
+
+# ---------------------------------------------------------------------------
+# stride-2 conv VJP
+# ---------------------------------------------------------------------------
+
+
+def _s2_dw_kernel(
+    mask_ref, x5, g_ref, dwc_ref, dwh_ref, slab, oph, sems,
+    *, tz, th, nb, d, h2, gy, n_tiles,
+):
+    t = pl.program_id(0)
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+    kw = dict(tz=tz, th=th, nb=nb, d=d, h2=h2, gy=gy)
+
+    @pl.when(t == 0)
+    def _():
+        _s2_issue_dmas(x5, slab, sems, slot, t, start=True, **kw)
+        dwc_ref[:] = jnp.zeros_like(dwc_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _s2_issue_dmas(x5, slab, sems, nxt, t + 1, start=True, **kw)
+
+    _s2_zero_edges(slab, slot, t, tz=tz, th=th, nb=nb, d=d, gy=gy)
+    _s2_issue_dmas(x5, slab, sems, slot, t, start=False, **kw)
+
+    R = tz * th * nb
+    g = g_ref[:].reshape(R, _LANE)
+    prec = _mm_precision(slab.dtype)
+    dn = (((0,), (0,)), ((), ()))
+    for dy in range(3):
+        yo, yp = _TAP_OFF_PAR[dy]
+        for dz in range(3):
+            zo, zp = _TAP_OFF_PAR[dz]
+            opref = slab[slot, pl.ds(zo, tz), zp, pl.ds(yo, th), yp]
+            dwc_ref[dy, dz] += jax.lax.dot_general(
+                opref.reshape(R, _LANE), g, dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            _build_s2_halo(oph, slab, mask_ref, slot, zo, zp, yo, yp,
+                           tz=tz, th=th, nb=nb)
+            dwh_ref[dy, dz] += jax.lax.dot_general(
+                oph[:].reshape(R, _LANE), g, dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+
+def _s2_extract_dw(dwc, dwh, bxi, ci, co):
+    bxo = bxi // 2
+    dw = jnp.zeros((3, 3, 3, ci, co), jnp.float32)
+    for dy in range(3):
+        for dz in range(3):
+            blk = dwc[dy, dz].reshape(bxi, ci, bxo, co)
+            for dx in range(3):
+                terms = [
+                    blk[2 * po + dx - 1, :, po, :]
+                    for po in range(bxo)
+                    if 0 <= 2 * po + dx - 1 < bxi
+                ]
+                acc = sum(terms[1:], terms[0])
+                if dx == 0:  # left halo: pi=-1 feeds po=0
+                    acc = acc + dwh[dy, dz, (bxi - 1) * ci :, :co]
+                dw = dw.at[dz, dy, dx].add(acc)
+    return dw
+
+
+def _s2_dx_mats(w: jnp.ndarray, bxi: int, dtype):
+    """Per output parity (rz, ry): the valid (dz, dy) taps with their
+    (z-offset, y-offset) into the half-res g slab, the center matrix
+    (g-lane -> full-res-lane) and the right-halo matrix (rolled-next-row
+    g contributes p=bxi-1 via po=0/dx=0)."""
+    ci, co = w.shape[3], w.shape[4]
+    bxo = bxi // 2
+    out = {}
+    for rz in range(2):
+        for ry in range(2):
+            taps = []
+            for dz in range(3):
+                if dz % 2 != (rz + 1) % 2:
+                    continue
+                for dy in range(3):
+                    if dy % 2 != (ry + 1) % 2:
+                        continue
+                    m = jnp.zeros((_LANE, _LANE), w.dtype)
+                    for po in range(bxo):
+                        for dx in range(3):
+                            p = 2 * po + dx - 1
+                            if 0 <= p < bxi:
+                                m = m.at[
+                                    po * co : (po + 1) * co,
+                                    p * ci : (p + 1) * ci,
+                                ].set(w[dz, dy, dx].T)
+                    mh = jnp.zeros((_LANE, _LANE), w.dtype)
+                    mh = mh.at[:co, (bxi - 1) * ci :].set(w[dz, dy, 0].T)
+                    zoff = 1 + (rz + 1 - dz) // 2
+                    yoff = 1 + (ry + 1 - dy) // 2
+                    taps.append(
+                        (zoff, yoff, m.astype(dtype), mh.astype(dtype))
+                    )
+            out[(rz, ry)] = taps
+    return out
+
+
+def _s2_dx_right_mask(th2: int, nb: int, co: int, dtype):
+    """Mask for the rolled(-1) g operand: kills xb==nb-1 rows, keeps the
+    first Co lanes (the next block's po=0 channels)."""
+    rm = (jnp.arange(th2 * nb) % nb)[:, None]
+    lane = jnp.arange(_LANE)[None, :]
+    return ((rm != nb - 1) & (lane < co)).astype(dtype)
+
+
+def _s2_dx_kernel(
+    mask_ref, mats_ref, mats_h_ref, g_hbm, o_ref, slab, oph, sems,
+    *, tz2, th2, nb, d2, gy, n_tiles, tap_table,
+):
+    from .pallas_conv import _issue_tile_dmas, _zero_tile_edges
+
+    t = pl.program_id(0)
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+    kw = dict(tz=tz2, th=th2, nb=nb, d=d2, gy=gy)
+
+    @pl.when(t == 0)
+    def _():
+        _issue_tile_dmas(g_hbm, slab, sems, slot, t, start=True, **kw)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _issue_tile_dmas(g_hbm, slab, sems, nxt, t + 1, start=True, **kw)
+
+    _zero_tile_edges(slab, slot, t, tz=tz2, th=th2, nb=nb, d=d2, gy=gy)
+    _issue_tile_dmas(g_hbm, slab, sems, slot, t, start=False, **kw)
+
+    R = tz2 * th2 * nb
+    rows = th2 * nb
+    prec = _mm_precision(slab.dtype)
+    for rz in range(2):
+        for ry in range(2):
+            acc = jnp.zeros((R, _LANE), jnp.float32)
+            for ti, (zoff, yoff) in enumerate(tap_table[(rz, ry)]):
+                base = yoff * nb
+                lhs = slab[
+                    slot, pl.ds(zoff, tz2), pl.ds(base, rows), :
+                ].reshape(R, _LANE)
+                acc = acc + jnp.dot(
+                    lhs, mats_ref[rz, ry, ti],
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                for zi in range(tz2):
+                    win = slab[
+                        slot, zoff + zi, pl.ds(base, rows), :
+                    ].astype(jnp.float32)
+                    oph[zi] = (
+                        pltpu.roll(win, shift=rows - 1, axis=0)
+                        * mask_ref[...].astype(jnp.float32)
+                    ).astype(oph.dtype)
+                acc = acc + jnp.dot(
+                    oph[:].reshape(R, _LANE), mats_h_ref[rz, ry, ti],
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+            o_ref[:, rz, :, ry, :, :] = acc.reshape(
+                tz2, th2, nb, _LANE
+            ).astype(o_ref.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv_s2_p(x3, w, b, dims):
+    """conv_s2_down with the hand-written VJP (training primitive)."""
+    return conv_s2_down(x3, w, b, dims)
+
+
+def _s2_p_fwd(x3, w, b, dims):
+    return conv_s2_down(x3, w, b, dims), (x3, w)
+
+
+def _s2_p_bwd(dims, res, g3):
+    x3, w = res
+    d, h, wd, ci = dims
+    bxi = _LANE // ci
+    nb = wd // bxi
+    co = w.shape[4]
+    d2, h2 = d // 2, h // 2
+    g3 = g3.astype(x3.dtype)
+    dtype = x3.dtype
+
+    # ---- dw/db: transpose matmuls with the fwd slab machinery
+    tz = _pick_tile(d2, 8)
+    th = _pick_tile(h2, 8)
+    x5 = x3.reshape(d, h // 2, 2, nb, _LANE)
+    mask = _s2_left_mask(th, nb, ci, dtype)
+    gz, gy = d2 // tz, h2 // th
+    kern = partial(
+        _s2_dw_kernel, tz=tz, th=th, nb=nb, d=d, h2=h2, gy=gy,
+        n_tiles=gz * gy,
+    )
+    dwc, dwh = pl.pallas_call(
+        kern,
+        grid=(gz * gy,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (tz, th * nb, _LANE),
+                lambda t, gy=gy: (t // gy, t % gy, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (3, 3, _LANE, _LANE), lambda t: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 3, _LANE, _LANE), lambda t: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, 3, _LANE, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3, _LANE, _LANE), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tz + 2, 2, th + 2, 2, nb, _LANE), dtype),
+            pltpu.VMEM((tz, th * nb, _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2, tz + 2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=_interpret(),
+    )(mask, x5, g3)
+    dw = _s2_extract_dw(dwc, dwh, bxi, ci, co)
+    db = jnp.sum(g3.astype(jnp.float32), axis=(0, 1))
+    db = db.reshape(bxi // 2, co).sum(0)
+
+    # ---- dx: parity-up kernel over the half-res g
+    taps = _s2_dx_mats(w, bxi, dtype)
+    tap_table = {k: [(z, y) for z, y, _, _ in v] for k, v in taps.items()}
+    # stack matrices: (2, 2, max_taps, 128, 128), zero-padded
+    maxt = max(len(v) for v in taps.values())
+    mats = jnp.zeros((2, 2, maxt, _LANE, _LANE), dtype)
+    mats_h = jnp.zeros((2, 2, maxt, _LANE, _LANE), dtype)
+    for (rz, ry), v in taps.items():
+        for ti, (_, _, m, mh) in enumerate(v):
+            mats = mats.at[rz, ry, ti].set(m)
+            mats_h = mats_h.at[rz, ry, ti].set(mh)
+    tz2 = _pick_tile(d2, 8)
+    th2 = _pick_tile(h2, 8)
+    gz2, gy2 = d2 // tz2, h2 // th2
+    maskr = _s2_dx_right_mask(th2, nb, co, dtype)
+    kern2 = partial(
+        _s2_dx_kernel, tz2=tz2, th2=th2, nb=nb, d2=d2, gy=gy2,
+        n_tiles=gz2 * gy2, tap_table=tap_table,
+    )
+    dx6 = pl.pallas_call(
+        kern2,
+        grid=(gz2 * gy2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tz2, 2, th2, 2, nb, _LANE),
+            lambda t, gy2=gy2: (t // gy2, 0, t % gy2, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((d2, 2, h2, 2, nb, _LANE), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tz2 + 2, (th2 + 2) * nb, _LANE), dtype),
+            pltpu.VMEM((tz2, th2 * nb, _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2, tz2 + 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=_interpret(),
+    )(maskr, mats, mats_h, g3)
+    dx3 = dx6.reshape(d, h * nb, _LANE)
+    return dx3, dw, db
+
+
+conv_s2_p.defvjp(_s2_p_fwd, _s2_p_bwd)
+
+
+# ---------------------------------------------------------------------------
+# entry conv VJP
+# ---------------------------------------------------------------------------
+
+from .pallas_conv import _make_dw_call
+
+
+def _entry_dx_mats(w: jnp.ndarray, bx: int, dtype):
+    """Transposed-conv matrices for the entry dx: input lanes are g's
+    (p*C+c) packing, output lanes the 8-live entry packing.
+    dx = s1 conv of g with w'[dz,dy,dx][c,0] = w[2-dz,2-dy,2-dx,0,c]."""
+    co = w.shape[4]
+    cm, hm = [], []
+    for dy in range(3):
+        cms, hms = [], []
+        for dz in range(3):
+            m = jnp.zeros((_LANE, _LANE), w.dtype)
+            for pc in range(bx):
+                for p in range(bx):
+                    dxo = pc - p + 1
+                    if 0 <= dxo < 3:
+                        m = m.at[pc * co : (pc + 1) * co, p].set(
+                            w[2 - dz, 2 - dy, 2 - dxo, 0]
+                        )
+            mh = jnp.zeros((_LANE, _LANE), w.dtype)
+            # left-rolled operand (prev row): its LAST position pc=bx-1
+            # feeds p=0 via dxo=0 -> w'[...,0] = w[2-dz,2-dy,2]
+            mh = mh.at[(bx - 1) * co : bx * co, 0].set(w[2 - dz, 2 - dy, 2, 0])
+            # right-rolled operand (next row): pc=0 feeds p=bx-1 via dxo=2
+            mh = mh.at[:co, bx - 1].set(w[2 - dz, 2 - dy, 0, 0])
+            cms.append(m)
+            hms.append(mh)
+        cm.append(jnp.stack(cms))
+        hm.append(jnp.stack(hms))
+    return jnp.stack(cm).astype(dtype), jnp.stack(hm).astype(dtype)
+
+
+def _entry_dx_masks(th: int, nb: int, co: int, dtype):
+    """Row masks with FULL-lane selection: the left roll keeps the last
+    Co lanes (prev row's pc=bx-1 channels), the right roll the first Co."""
+    rm = (jnp.arange(th * nb) % nb)[:, None]
+    lane = jnp.arange(_LANE)[None, :]
+    left = ((rm != 0) & (lane >= _LANE - co)).astype(dtype)
+    right = ((rm != nb - 1) & (lane < co)).astype(dtype)
+    return jnp.stack([left, right])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv_entry_p(x5, w, b, dims):
+    """conv_entry with the hand-written VJP (training primitive)."""
+    return conv_entry(x5, w, b, dims)
+
+
+def _entry_p_fwd(x5, w, b, dims):
+    return conv_entry(x5, w, b, dims), (x5, w)
+
+
+def _entry_p_bwd(dims, res, g3):
+    x5, w = res
+    d, h, wd, _ = dims
+    co = w.shape[4]
+    bx = _LANE // co
+    nb = wd // bx
+    dtype = x5.dtype
+    g3 = g3.astype(dtype)
+    tz, th = _pick_tiles(d, h, nb, jnp.dtype(dtype).itemsize)
+
+    # dx: packed s1-style conv of g with flipped/transposed weights; the
+    # live output lanes [0:bx] are the entry-input packing
+    cmats, hmats = _entry_dx_mats(w, bx, dtype)
+    masks_dx = _entry_dx_masks(th, nb, co, dtype)
+    call = _make_fwd_call(d, h, nb, tz, th, dtype)
+    zero_bias = jnp.zeros((1, _LANE), jnp.float32)
+    dx3 = call(masks_dx, zero_bias, cmats, hmats, g3)
+    dx5 = dx3[:, :, :bx].reshape(1, d, h, wd, 1).astype(dtype)
+
+    # dw/db via the generic transpose-matmul kernel on the padded input
+    x3e = jnp.pad(
+        x5.reshape(d, h * nb, bx), ((0, 0), (0, 0), (0, _LANE - bx))
+    )
+    masks = _entry_masks(th, nb, bx, dtype)
+    dwc, dwh = _make_dw_call(d, h, nb, tz, th, dtype)(masks, x3e, g3)
+    dw = jnp.zeros((3, 3, 3, 1, co), jnp.float32)
+    for dy in range(3):
+        for dz in range(3):
+            blk = dwc[dy, dz].reshape(_LANE, bx, co)
+            for dxo in range(3):
+                terms = [
+                    blk[p + dxo - 1, p, :]
+                    for p in range(bx)
+                    if 0 <= p + dxo - 1 < bx
+                ]
+                acc = sum(terms[1:], terms[0])
+                if dxo == 0:
+                    acc = acc + dwh[dy, dz, bx - 1, :co]
+                if dxo == 2:
+                    acc = acc + dwh[dy, dz, 0, (bx - 1) * co :]
+                dw = dw.at[dz, dy, dxo, 0].add(acc)
+    db = jnp.sum(g3.astype(jnp.float32), axis=(0, 1)).reshape(bx, co).sum(0)
+    return dx5, dw, db
+
+
+conv_entry_p.defvjp(_entry_p_fwd, _entry_p_bwd)

@@ -549,6 +549,39 @@ def _extract_dw(dwc, dwh, bx, ci):
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv_s1_p(x3, w, b, dims):
+    """Packed-form 3^3 stride-1 conv with the hand VJP — the training
+    path's primitive (dx = same kernel with flipped/transposed weights,
+    dw/db = transpose-matmul kernel)."""
+    return conv_s1_packed(x3, w, b, dims)
+
+
+def _conv_s1_p_fwd(x3, w, b, dims):
+    return conv_s1_packed(x3, w, b, dims), (x3, w)
+
+
+def _conv_s1_p_bwd(dims, res, g3):
+    x3, w = res
+    d, h, wd, ci = dims
+    g3 = g3.astype(x3.dtype)
+    wt = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    dx3 = conv_s1_packed(g3, wt, jnp.zeros((ci,), jnp.float32), dims)
+    bx = _LANE // ci
+    nb = wd // bx
+    tz, th = _pick_tiles(d, h, nb, jnp.dtype(x3.dtype).itemsize)
+    masks = _edge_masks(th, nb, ci, x3.dtype)
+    call = _make_dw_call(d, h, nb, tz, th, x3.dtype)
+    dwc, dwh = call(masks, x3, g3)
+    dw = _extract_dw(dwc, dwh, bx, ci)
+    db = jnp.sum(g3.astype(jnp.float32), axis=(0, 1))
+    db = db.reshape(bx, ci).sum(0)
+    return dx3, dw, db
+
+
+conv_s1_p.defvjp(_conv_s1_p_fwd, _conv_s1_p_bwd)
+
+
 @jax.custom_vjp
 def conv3d_s1(x, w, b):
     """3^3 stride-1 'same' conv, channels-last, Pallas packed kernels."""
