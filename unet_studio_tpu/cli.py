@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--atlas", default=None)
     p.add_argument("--output_type", type=int, default=0)
     p.add_argument("--asset_root", default=None, help="dir containing atlas/ and unet/")
+    p.add_argument(
+        "--coordinator", default=os.environ.get("UNET_TPU_COORDINATOR"),
+        help="multi-host coordinator address host:port (jax.distributed); "
+        "each host then loads only its shard of every batch",
+    )
     p.add_argument("--session", default=None, help="load a training session JSON")
     p.add_argument("--save_session", default=None, help="write the training session JSON")
     p.add_argument("--mosaic", default=None, help="evaluate: also export a PNG slice mosaic")
@@ -286,6 +291,10 @@ def cmd_qc(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.coordinator:
+        from .utils.device import init_multihost
+
+        init_multihost(args.coordinator)
     # boot-time accelerator probe + self-test (check_cuda analog, main.cpp:93-102)
     from .utils.device import check_tpu
 

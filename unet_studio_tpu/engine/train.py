@@ -361,13 +361,40 @@ class TrainEngine:
         self._rng_pos = start + b
         return ids
 
+    def _put_batch_axis(self, arr: np.ndarray, sh):
+        """Host array -> global device array sharded on the batch axis.
+
+        Single-process: a plain sharded device_put.  Multi-process (SPMD
+        pods, SURVEY.md §5.8): every process passes only ITS rows of the
+        global batch and jax assembles the global array from the
+        process-local shards — no host ever materializes the full batch.
+        """
+        if jax.process_count() == 1:
+            return jax.device_put(arr, sh)
+        return jax.make_array_from_process_local_data(sh, arr)
+
+    def _local_batch_rows(self, b: int) -> slice:
+        """The contiguous slice of global batch rows this process loads
+        (reference: one host loads everything, train.cpp:259-343; here
+        each host reads 1/process_count of the batch)."""
+        nproc = jax.process_count()
+        per = b // nproc
+        lo = jax.process_index() * per
+        return slice(lo, lo + per)
+
     def _assemble_batch(self, epoch: int):
         ds = self.dataset
         ids = self._epoch_draws(epoch)
         base_key = jax.random.key(self.param.seed)
-        keys = [jax.random.fold_in(base_key, seed_id) for seed_id, _ in ids]
         sh = NamedSharding(self.mesh, P("data"))
-        keys_dev = jax.device_put(jnp.stack(keys), sh)
+        rows = self._local_batch_rows(len(ids))
+        keys = [
+            jax.random.fold_in(base_key, seed_id) for seed_id, _ in ids[rows]
+        ]
+        keys_dev = self._put_batch_axis(
+            np.asarray(jax.random.key_data(jnp.stack(keys))), sh
+        )
+        keys_dev = jax.random.wrap_key_data(keys_dev)
 
         # template-heavy batches repeat the same volumes epoch after epoch
         # (one-template training repeats the SAME batch every epoch): keep
@@ -378,7 +405,7 @@ class TrainEngine:
             return images_d, labels_d, tmpl_d, shift_d, keys_dev
 
         images, labels, tmpl, shift = [], [], [], []
-        for _, read_id in ids:
+        for _, read_id in ids[rows]:
             self.reading_status = f"reading {os.path.basename(ds.images[read_id])}"
             img, lab = self._load_item(read_id)
             images.append(img[..., None])
@@ -386,10 +413,10 @@ class TrainEngine:
             tmpl.append(ds.is_template[read_id])
             shift.append(ds.need_shift[read_id])
         batch = (
-            jax.device_put(np.stack(images), sh),
-            jax.device_put(np.stack(labels), sh),
-            jax.device_put(np.asarray(tmpl), sh),
-            jax.device_put(np.asarray(shift), sh),
+            self._put_batch_axis(np.stack(images), sh),
+            self._put_batch_axis(np.stack(labels), sh),
+            self._put_batch_axis(np.asarray(tmpl), sh),
+            self._put_batch_axis(np.asarray(shift), sh),
         )
         # cache only when every item is a RAM-cached template (otherwise the
         # device copy would pin arbitrary subject volumes)
