@@ -79,11 +79,15 @@ class AtlasParcellation:
     def _resample_to_template(self, img) -> np.ndarray:
         """Majority-resample an atlas NIfTI onto the template grid using the
         two sform affines (template voxel -> world -> atlas voxel)."""
-        A_tpl = self.template_affine.astype(np.float64)
-        A_atl = np.asarray(img.affine, np.float64)
-        M = np.linalg.inv(
-            np.vstack([A_atl, [0, 0, 0, 1]])
-        ) @ np.vstack([A_tpl, [0, 0, 0, 1]])
+        def h4(a):
+            a = np.asarray(a, np.float64)
+            if a.shape == (4, 4):
+                return a
+            return np.vstack([a, [0, 0, 0, 1]])
+
+        A_tpl = h4(self.template_affine)
+        A_atl = h4(img.affine)
+        M = np.linalg.inv(A_atl) @ A_tpl
         mat34 = M[:3, :].astype(np.float32)
         out = resample_affine(
             jnp.asarray(img.data.astype(np.float32)),

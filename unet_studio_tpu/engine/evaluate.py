@@ -336,8 +336,15 @@ class EvaluateEngine:
     # -- pipelined driver --------------------------------------------------------
 
     def run(self, paths: list[str]):
-        """Yield processed EvalCases in order, with a reader thread
-        prefetching up to ``lookahead`` volumes ahead (evaluate.cpp:192)."""
+        """Yield processed EvalCases in order through a 3-stage pipeline
+        (the reference's read/evaluate/output threads,
+        evaluate.cpp:192,250-299): a reader thread prefetches up to
+        ``lookahead`` volumes, the main loop drives the device, and host
+        post-processing (full-res connected components, morphology) runs
+        on a worker pool overlapped with the next volume's inference."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         q: queue.Queue = queue.Queue(maxsize=self.lookahead)
 
         def reader():
@@ -352,17 +359,40 @@ class EvaluateEngine:
 
         t = threading.Thread(target=reader, daemon=True)
         t.start()
-        while True:
-            case = q.get()
-            if case is None:
-                break
-            if not case.error_msg:
+
+        def finish(case, fut):
+            if fut is not None:
                 try:
-                    self.infer(case)
-                    self.postprocess(case)
+                    fut.result()
                 except Exception as e:  # noqa: BLE001
-                    case.error_msg = f"{case.path}: {e}"
+                    case.error_msg = case.error_msg or f"{case.path}: {e}"
             if case.error_msg and not self.error_msg:
                 self.error_msg = case.error_msg
-            yield case
+            return case
+
+        pending: deque = deque()
+        with ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="unet-output"
+        ) as post:
+            while True:
+                case = q.get()
+                if case is None:
+                    break
+                fut = None
+                if not case.error_msg:
+                    try:
+                        self.infer(case)
+                        fut = post.submit(self.postprocess, case)
+                    except Exception as e:  # noqa: BLE001
+                        case.error_msg = f"{case.path}: {e}"
+                pending.append((case, fut))
+                # keep at most 2 in flight; yield in order once done
+                while pending and (
+                    len(pending) > 2
+                    or pending[0][1] is None
+                    or pending[0][1].done()
+                ):
+                    yield finish(*pending.popleft())
+            while pending:
+                yield finish(*pending.popleft())
         t.join()
