@@ -438,16 +438,8 @@ def instance_norm_packed(x3, scale, bias, c: int, eps: float = 1e-5):
     (..., bx, C) first re-creates the 8x lane-padded layout this module
     exists to avoid — measured 20 ms/norm that way vs ~1 ms here), then
     the tiny (128,) vectors are folded across the bx position groups."""
+    mean, inv, n = _in_packed_stats(x3, c, eps)
     bx = _LANE // c
-    n = x3.shape[0] * x3.shape[1] * bx  # voxels per channel
-    lane_sum = jnp.sum(x3, axis=(0, 1), dtype=jnp.float32)
-    mean = lane_sum.reshape(bx, c).sum(0) / n
-    mean_l = jnp.tile(mean, bx).astype(jnp.float32)
-    lane_sq = jnp.sum(
-        jnp.square(x3.astype(jnp.float32) - mean_l), axis=(0, 1)
-    )
-    var = lane_sq.reshape(bx, c).sum(0) / n
-    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
     a = jnp.tile(inv * scale.astype(jnp.float32), bx).astype(x3.dtype)
     b = jnp.tile(
         bias.astype(jnp.float32) - mean * inv * scale.astype(jnp.float32), bx
@@ -458,11 +450,9 @@ def instance_norm_packed(x3, scale, bias, c: int, eps: float = 1e-5):
 def _in_packed_stats(x3, c, eps):
     bx = _LANE // c
     n = x3.shape[0] * x3.shape[1] * bx
-    lane_sum = jnp.sum(x3, axis=(0, 1), dtype=jnp.float32)
-    mean = lane_sum.reshape(bx, c).sum(0) / n
+    mean = lane_sum(x3).reshape(bx, c).sum(0) / n
     mean_l = jnp.tile(mean, bx)
-    lane_sq = jnp.sum(jnp.square(x3.astype(jnp.float32) - mean_l), axis=(0, 1))
-    var = lane_sq.reshape(bx, c).sum(0) / n
+    var = lane_sqdiff(x3, mean_l).reshape(bx, c).sum(0) / n
     inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
     return mean, inv, n
 
@@ -480,11 +470,8 @@ def _in_packed_bwd(c, eps, res, g3):
     mean_l = jnp.tile(mean, bx).astype(x3.dtype)
     inv_l = jnp.tile(inv, bx).astype(x3.dtype)
     xhat = (x3 - mean_l) * inv_l
-    g_lane = jnp.sum(g3, axis=(0, 1), dtype=jnp.float32)
+    g_lane, gx_lane = norm_bwd_sums(g3, x3, jnp.tile(mean, bx), jnp.tile(inv, bx))
     g_mean = g_lane.reshape(bx, c).sum(0) / n
-    gx_lane = jnp.sum(
-        g3.astype(jnp.float32) * xhat.astype(jnp.float32), axis=(0, 1)
-    )
     gx_mean = gx_lane.reshape(bx, c).sum(0) / n
     coef = jnp.tile(inv * scale.astype(jnp.float32), bx).astype(x3.dtype)
     dx = coef * (
@@ -1123,3 +1110,87 @@ def _entry_p_bwd(dims, res, g3):
 
 
 conv_entry_p.defvjp(_entry_p_fwd, _entry_p_bwd)
+
+
+# ---------------------------------------------------------------------------
+# lane reductions: XLA's reduce of a (D, rows, 128) volume to (128,) runs
+# at ~130 GB/s on this backend (measured 2-2.5 ms per reduce at full
+# grid); these blocked single-pass kernels run at streaming bandwidth and
+# fuse the elementwise pre-ops (square, g*xhat) into the read.
+# ---------------------------------------------------------------------------
+
+
+def _lane_reduce_kernel(mode, n_in):
+    def kern(*refs):
+        o_ref = refs[n_in]
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        x = refs[0][0].astype(jnp.float32)
+        if mode == "sum":
+            o_ref[0, :] += jnp.sum(x, axis=0)
+        elif mode == "sqdiff":
+            m = refs[1][0].astype(jnp.float32)
+            o_ref[0, :] += jnp.sum(jnp.square(x - m), axis=0)
+        elif mode == "norm_bwd":
+            g = x
+            xx = refs[1][0].astype(jnp.float32)
+            m = refs[2][0].astype(jnp.float32)
+            inv = refs[3][0].astype(jnp.float32)
+            o_ref[0, :] += jnp.sum(g, axis=0)
+            o_ref[1, :] += jnp.sum(g * (xx - m) * inv, axis=0)
+
+    return kern
+
+
+def _lane_reduce(mode, x3, *extra_vecs_or_vols):
+    """Blocked lane reduction over a (D, rows, 128) volume.
+
+    mode 'sum' -> (8,128) with row 0 = per-lane sums; 'sqdiff' (extra:
+    (1,128) mean) -> row 0 = sum((x-mean)^2); 'norm_bwd' (extra: x volume,
+    (1,128) mean, (1,128) inv) -> rows 0,1 = sum(g), sum(g*xhat)."""
+    d, rows, _ = x3.shape
+    vols = [x3] + [v for v in extra_vecs_or_vols if v.ndim == 3]
+    vecs = [v for v in extra_vecs_or_vols if v.ndim == 2]
+    n_in = 1 + len(extra_vecs_or_vols)
+    in_specs = [
+        pl.BlockSpec((1, rows, _LANE), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in vols
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in vecs]
+    args = vols + vecs
+    # kernel refs arrive in in_specs order: volumes then vectors; rebuild
+    # the positional convention the kernel body expects
+    if mode == "norm_bwd":
+        # refs: g, x, mean, inv
+        pass
+    return pl.pallas_call(
+        _lane_reduce_kernel(mode, n_in),
+        grid=(d,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, _LANE), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, _LANE), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=_interpret(),
+    )(*args)
+
+
+def lane_sum(x3):
+    return _lane_reduce("sum", x3)[0]
+
+
+def lane_sqdiff(x3, mean_lane):
+    return _lane_reduce("sqdiff", x3, mean_lane[None].astype(x3.dtype))[0]
+
+
+def norm_bwd_sums(g3, x3, mean_lane, inv_lane):
+    r = _lane_reduce(
+        "norm_bwd", g3, x3,
+        mean_lane[None].astype(jnp.float32),
+        inv_lane[None].astype(jnp.float32),
+    )
+    return r[0], r[1]
