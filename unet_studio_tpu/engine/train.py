@@ -239,6 +239,8 @@ class TrainEngine:
         # reader prefetch: epoch e+1's batch assembles while step e runs
         self._prefetch: tuple | None = None
         self._reader = None
+        # per-slot load occupancy of the batch being assembled
+        self._slot_ready: list[bool] = []
 
     # ------------------------------------------------------------------ setup
 
@@ -405,13 +407,16 @@ class TrainEngine:
             return images_d, labels_d, tmpl_d, shift_d, keys_dev
 
         images, labels, tmpl, shift = [], [], [], []
-        for _, read_id in ids[rows]:
+        local_ids = ids[rows]
+        self._slot_ready = [False] * len(local_ids)
+        for slot, (_, read_id) in enumerate(local_ids):
             self.reading_status = f"reading {os.path.basename(ds.images[read_id])}"
             img, lab = self._load_item(read_id)
             images.append(img[..., None])
             labels.append(lab)
             tmpl.append(ds.is_template[read_id])
             shift.append(ds.need_shift[read_id])
+            self._slot_ready[slot] = True
         batch = (
             self._put_batch_axis(np.stack(images), sh),
             self._put_batch_axis(np.stack(labels), sh),
@@ -563,7 +568,10 @@ class TrainEngine:
 
     def get_status(self) -> str:
         state = "paused" if self.paused else self.training_status
+        # per-slot occupancy string, '-' loaded / '_' pending
+        # (train.cpp:488-499)
+        slots = "".join("-" if r else "_" for r in self._slot_ready)
         return (
             f"epoch {self.cur_epoch}/{self.param.epoch} "
-            f"{self.reading_status}|{state}|{self.validation_status}"
+            f"[{slots}] {self.reading_status}|{state}|{self.validation_status}"
         )
