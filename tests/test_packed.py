@@ -288,3 +288,173 @@ def test_forward_packed_train_grads(rng):
                 atol=5e-4 * scale + 2e-3,
                 err_msg=f"{k} remat={remat}",
             )
+
+
+# ---------------------------------------------------------------------------
+# the 64->128->64 boundary (round-2 verdict: the untested seam that shipped
+# ~80%-relative-error TPU inference and a crashing TPU train step)
+# ---------------------------------------------------------------------------
+
+# 4-level arch crossing C=128: the 64->128 s2 conv runs PACKED (bxi=2),
+# the C=128 s1 convs must be GATED to the XLA path (bx=1 is outside
+# conv_s1_p's support), the 128->64 trans conv runs packed at bxi=1.
+PACKED_ARCH_128 = "\n".join(
+    [
+        "conv16,ks3,stride1+norm,leaky_relu+conv16,ks3,stride1+norm,leaky_relu",
+        "conv32,ks3,stride2+norm,leaky_relu+conv32,ks3,stride1+norm,leaky_relu",
+        "conv64,ks3,stride2+norm,leaky_relu+conv64,ks3,stride1+norm,leaky_relu",
+        "conv128,ks3,stride2+norm,leaky_relu+conv128,ks3,stride1+norm,leaky_relu"
+        "+conv_trans64,ks2,stride2",
+        "conv64,ks3,stride1+norm,leaky_relu+conv64,ks3,stride1+norm,leaky_relu"
+        "+conv4,ks1,stride1+conv_trans32,ks2,stride2",
+        "conv32,ks3,stride1+norm,leaky_relu+conv32,ks3,stride1+norm,leaky_relu"
+        "+conv4,ks1,stride1+conv_trans16,ks2,stride2",
+        "conv16,ks3,stride1+norm,leaky_relu+conv16,ks3,stride1+norm,leaky_relu"
+        "+conv4,ks1,stride1",
+    ]
+)
+
+
+def test_conv_s1_packed_rejects_c128(rng):
+    """conv_s1_p at C=128 (bx=1) must fail at TRACE time, never compute:
+    the combined halo matrix's left/right lane sets overlap there (the
+    round-2 silent-corruption defect)."""
+    from unet_studio_tpu.ops.pallas_conv import conv_s1_packed
+
+    d, h, w_, c = 4, 4, 8, 128
+    x3 = jnp.zeros((d, h * w_, 128), jnp.float32)
+    w = jnp.zeros((3, 3, 3, c, c), jnp.float32)
+    b = jnp.zeros((c,), jnp.float32)
+    with pytest.raises(ValueError, match="unsupported packed shape"):
+        conv_s1_packed(x3, w, b, (d, h, w_, c))
+
+
+def test_s2_packed_grad_ci64(rng):
+    """The 64->128 downsampler's backward (bxi=2: the dx=0 center-term
+    list is empty, round-2 IndexError) against the XLA reference."""
+    d, h, w_, c = 8, 8, 16, 64
+    dims = (d, h, w_, c)
+    x = jnp.asarray(rng.standard_normal((d, h, w_, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, c, 2 * c)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(2 * c), jnp.float32)
+    assert packed.s2_supported(c, 2 * c, d, h, w_)
+    y3 = jax.jit(lambda x3: packed.conv_s2_down(x3, w, b, dims))(packed.pack(x))
+    yr = _conv5(x, w, 2) + b
+    np.testing.assert_allclose(
+        np.asarray(packed.unpack(y3, (d // 2, h // 2, w_ // 2, 2 * c))),
+        np.asarray(yr),
+        atol=3e-5,
+    )
+
+    g = jnp.asarray(
+        rng.standard_normal((d // 2, h // 2, w_ // 2, 2 * c)), jnp.float32
+    )
+    g3 = packed.pack(g)
+
+    def loss_p(x5, w, b):
+        return jnp.sum(packed.conv_s2_p(packed.pack(x5), w, b, dims) * g3)
+
+    def loss_r(x5, w, b):
+        return jnp.sum((_conv5(x5, w, 2) + b) * g)
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(x, w, b)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(x, w, b)
+    for name, a, r in zip(("dx", "dw", "db"), gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-4, rtol=1e-5, err_msg=name
+        )
+
+
+def test_trans_packed_grad_ci128(rng):
+    """The 128->64 decoder upsampler at bxi=1 (whole input block = one
+    lane) against the XLA reference."""
+    from unet_studio_tpu.models.unet3d import _conv_trans2x
+
+    d, h, w_, co = 4, 4, 8, 64
+    ci = 2 * co
+    dims = (d, h, w_, ci)
+    assert packed.trans_supported(ci, co, d, h, w_)
+    x = jnp.asarray(rng.standard_normal((d, h, w_, ci)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((ci, 2, 2, 2, co)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(co), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((2 * d, 2 * h, 2 * w_, co)), jnp.float32)
+    g3 = packed.pack(g)
+
+    def loss_p(x5, w, b):
+        return jnp.sum(packed.conv_trans2x_p(packed.pack(x5), w, b, dims) * g3)
+
+    def loss_r(x5, w, b):
+        return jnp.sum(_conv_trans2x(x5[None], w, b)[0] * g)
+
+    y3 = jax.jit(lambda x3: packed.conv_trans2x_up(x3, w, b, dims))(packed.pack(x))
+    yr = _conv_trans2x(x[None], w, b)[0]
+    np.testing.assert_allclose(
+        np.asarray(packed.unpack(y3, (2 * d, 2 * h, 2 * w_, co))),
+        np.asarray(yr),
+        atol=3e-5,
+    )
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(x, w, b)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(x, w, b)
+    for name, a, r in zip(("dx", "dw", "db"), gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-4, rtol=1e-5, err_msg=name
+        )
+
+
+def test_forward_packed_matches_forward_c128(rng):
+    """Full-network forward parity across the 64->128->64 boundary: the
+    exact seam the round-2 suite never traced."""
+    from unet_studio_tpu.models.unet3d import UNet3d, forward, forward_packed
+
+    model = UNet3d.create(1, 4, PACKED_ARCH_128, seed=0)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 64, 1)), jnp.float32)
+    params = {k: jnp.asarray(v) for k, v in model.params.items()}
+    ref, _ = forward(
+        model.spec, params, x, train=False, compute_dtype=jnp.float32
+    )
+    got = forward_packed(model.spec, params, x, compute_dtype=jnp.float32)
+    assert len(got) == len(ref)
+    for lvl, (a, b) in enumerate(zip(got, ref)):
+        assert (a is None) == (b is None), lvl
+        if a is not None:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, err_msg=f"level {lvl}"
+            )
+
+
+def test_forward_packed_train_grads_c128(rng):
+    """Parameter gradients through the packed train forward across the
+    64->128->64 boundary (the round-2 TPU train crash path)."""
+    from unet_studio_tpu.models.unet3d import UNet3d, forward, forward_packed
+
+    model = UNet3d.create(1, 4, PACKED_ARCH_128, seed=0)
+    spec = model.spec
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 64, 1)), jnp.float32)
+    params = {k: jnp.asarray(v) for k, v in model.params.items()}
+    gs = [
+        jnp.asarray(rng.standard_normal((1, 16, 16, 64, 4)), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, 8, 8, 32, 4)), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, 4, 4, 16, 4)), jnp.float32),
+    ]
+
+    def loss_ref(params):
+        outs, _ = forward(spec, params, x, train=True, compute_dtype=jnp.float32)
+        return sum(jnp.sum(o * g) for o, g in zip(outs, gs) if o is not None)
+
+    def loss_pk(params):
+        outs = forward_packed(
+            spec, params, x, compute_dtype=jnp.float32, train=True, remat=True
+        )
+        return sum(jnp.sum(o * g) for o, g in zip(outs, gs) if o is not None)
+
+    gr = jax.grad(loss_ref)(params)
+    gp = jax.grad(loss_pk)(params)
+    for k in gr:
+        scale = max(float(jnp.max(jnp.abs(gr[k]))), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gp[k]),
+            np.asarray(gr[k]),
+            atol=5e-4 * scale + 2e-3,
+            err_msg=k,
+        )

@@ -151,3 +151,64 @@ def test_spatial_train_step_matches_unsharded():
         np.testing.assert_allclose(
             outs["sharded"][0][k], outs["single"][0][k], atol=2e-5, err_msg=k
         )
+
+
+PACKED_DP_ARCH = "\n".join(
+    [
+        "conv16,ks3,stride1+norm,leaky_relu",
+        "conv32,ks3,stride2+norm,leaky_relu+conv_trans16,ks2,stride2",
+        "conv16,ks3,stride1+norm,leaky_relu+conv4,ks1,stride1",
+    ]
+)
+
+
+def test_packed_route_inside_shard_map(monkeypatch, rng):
+    """The packed Pallas kernels (interpret mode) traced INSIDE the
+    data-parallel shard_map train step — the coverage hole behind round
+    2's on-hardware crash (check_vma=False means no machine check
+    either): one step on a 2-device mesh, packed vs XLA path parity on
+    the resulting parameters."""
+    from unet_studio_tpu.engine.optimizer import init_opt_state
+    from unet_studio_tpu.engine.train import TrainParam, build_train_step
+    from unet_studio_tpu.models.unet3d import no_pallas_conv
+
+    model = UNet3d.create(1, 4, PACKED_DP_ARCH, seed=0)
+    model.dim = (64, 4, 4)  # (x, y, z) -> dhw (4, 4, 64), packed-eligible
+    mesh = make_mesh(n_data=2)
+    param = TrainParam(batch_size=2, compute_dtype="float32", remat=False)
+
+    d, h, w = model.dim_dhw
+    images = rng.random((2, d, h, w, 1)).astype(np.float32)
+    labels = (rng.random((2, d, h, w)) * 3).astype(np.float32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(0), i))(
+        jnp.arange(2)
+    )
+    sh = NamedSharding(mesh, P("data"))
+    args = (
+        jax.device_put(images, sh),
+        jax.device_put(labels, sh),
+        jax.device_put(np.ones(2, bool), sh),
+        jax.device_put(np.zeros(2, bool), sh),
+        jax.device_put(keys, sh),
+        1e-3,
+    )
+    params = {k: jnp.asarray(v) for k, v in model.params.items()}
+
+    monkeypatch.setenv("UNET_TPU_FORCE_PACKED", "1")
+    step_fn, _ = build_train_step(model, param, mesh)
+    p_packed, _, m_packed = step_fn(params, init_opt_state(params), *args)
+    m_packed = np.asarray(m_packed)
+    assert np.isfinite(m_packed).all()
+
+    with no_pallas_conv():
+        step_fn2, _ = build_train_step(model, param, mesh)
+        p_ref, _, m_ref = step_fn2(params, init_opt_state(params), *args)
+    np.testing.assert_allclose(m_packed, np.asarray(m_ref), rtol=1e-4, atol=1e-5)
+    for k in p_ref:
+        np.testing.assert_allclose(
+            np.asarray(p_packed[k]),
+            np.asarray(p_ref[k]),
+            rtol=1e-4,
+            atol=5e-6,
+            err_msg=k,
+        )

@@ -148,9 +148,11 @@ def build_train_step(
         # the grad/metric accumulators vary per device shard: mark them as
         # varying over the data axis for shard_map's vma tracking
         zero_grads = jax.tree.map(
-            lambda p: jax.lax.pvary(jnp.zeros_like(p), "data"), params
+            lambda p: jax.lax.pcast(jnp.zeros_like(p), "data", to="varying"),
+            params,
         )
-        zero_metrics = jax.lax.pvary(jnp.zeros(4), "data")  # ce,dice,mse + count
+        # ce,dice,mse + count
+        zero_metrics = jax.lax.pcast(jnp.zeros(4), "data", to="varying")
 
         def body(carry, item):
             grads_acc, metrics = carry
@@ -247,6 +249,18 @@ class TrainEngine:
     def start(self) -> None:
         if not self.param.image_file_name:
             self.error_msg = "please specify the training data"
+            self.aborted = True
+            return
+        nproc = jax.process_count()
+        if self.param.batch_size % nproc:
+            # _local_batch_rows slices b // nproc rows per process; a
+            # non-divisible batch would silently drop the trailing rows
+            # AND mis-scale gradients (device_step divides by the full
+            # batch_size)
+            self.error_msg = (
+                f"batch_size ({self.param.batch_size}) must be divisible by "
+                f"the process count ({nproc}) for multi-host training"
+            )
             self.aborted = True
             return
         self.reading_status = "scanning labels"

@@ -784,7 +784,11 @@ def _s2_extract_dw(dwc, dwh, bxi, ci, co):
                     for po in range(bxo)
                     if 0 <= 2 * po + dx - 1 < bxi
                 ]
-                acc = sum(terms[1:], terms[0])
+                # terms CAN be empty: at bxi=2 (ci=64) the dx=0 tap only
+                # ever crosses the block edge, so the whole contribution
+                # is the halo accumulator (round-2 verdict: the empty
+                # list crashed the 64->128 s2 backward)
+                acc = sum(terms, jnp.zeros((ci, co), jnp.float32))
                 if dx == 0:  # left halo: pi=-1 feeds po=0
                     acc = acc + dwh[dy, dz, (bxi - 1) * ci :, :co]
                 dw = dw.at[dz, dy, dx].add(acc)

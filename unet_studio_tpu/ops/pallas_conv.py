@@ -385,6 +385,15 @@ def conv_s1_packed(x3, w, b, dims):
     """Packed-form forward: x3 (D, H*nb, 128) -> (D, H*nb, 128).
     No VJP — the training path uses conv3d_s1 below."""
     d, h, wd, ci = dims
+    if not supported(ci, ci, d, h, wd):
+        # fail at TRACE time: at C=128 (bx=1) the combined halo matrix's
+        # left/right writes overlap and the kernel computes garbage — the
+        # round-2 defect that silently corrupted every TPU inference.
+        # Routing layers must gate on supported() and fall back to XLA.
+        raise ValueError(
+            f"conv_s1_packed: unsupported packed shape dims={dims} "
+            f"(need C in {_SUPPORTED_C}, W%(128/C)==0, (W*C/128)%8==0)"
+        )
     bx = _LANE // ci
     nb = wd // bx
     dtype = x3.dtype
@@ -535,7 +544,9 @@ def _extract_dw(dwc, dwh, bx, ci):
                 for p in range(bx)
                 if 0 <= p + dx - 1 < bx
             ]
-            acc = sum(terms[1:], terms[0])  # (3, ci, co)
+            # at bx=1 the dx=0/dx=2 taps always cross the block edge and
+            # the center term list is empty — the contribution is pure halo
+            acc = sum(terms, jnp.zeros((3, ci, co), jnp.float32))
             if dx == 0:  # left halo (lanes [128-ci:]) feeds output col p=0
                 acc = acc + dwh[dy, :, _LANE - ci :, :co]
             if dx == 2:  # right halo (lanes [:ci]) feeds output col p=bx-1
