@@ -97,3 +97,25 @@ def test_session_roundtrip(tmp_path):
     cfg.save()
     cfg2 = Settings(path=str(tmp_path / "settings.json"))
     assert cfg2.value("last_network") == "human.t1w.seg5"
+
+
+def test_match_files_rename_by_example():
+    """tipl::match_files contract (mainwindow_evaluation.cpp:394): the
+    differing token between two source names maps the example output
+    name onto every other case."""
+    from unet_studio_tpu.utils.match import match_files
+
+    assert (
+        match_files("/d/sub-01_T1w.nii.gz", "/o/sub-01_mask.nii.gz",
+                    "/d/sub-02_T1w.nii.gz")
+        == "/o/sub-02_mask.nii.gz"
+    )
+    # token in directory AND basename: basename match wins
+    assert (
+        match_files("/d/a/T1w.nii.gz", "/d/a/a_out.nii.gz", "/d/b/T1w.nii.gz")
+        == "/d/a/b_out.nii.gz"
+    )
+    # same file: output name passes through
+    assert match_files("x.nii", "y.nii", "x.nii") == "y.nii"
+    # no consistent rewrite
+    assert match_files("ab.nii", "out.nii", "ac.nii") is None

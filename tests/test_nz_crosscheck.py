@@ -149,3 +149,58 @@ def test_independent_writer_vs_package_reader(tmp_path):
             atol=1e-6,
             err_msg=k,
         )
+
+
+def test_package_writer_vs_scipy_matv4_reader(tmp_path):
+    """THIRD-party oracle: scipy.io.loadmat's MAT-v4 codec (MATLAB-
+    compatible, independently maintained) must parse every record of a
+    package-written .nz.  This is the strongest zoo-compatibility proxy
+    available offline: TIPL's gz_mat_read is a MAT-v4 reader, so a file
+    scipy accepts as MAT-v4 is one the reference accepts (main.cpp:157-233).
+    """
+    import gzip
+    import io as _io
+
+    import scipy.io
+
+    model = UNet3d.create(1, 3, default_architecture(3), seed=0)
+    path = str(tmp_path / "m.nz")
+    save_model(path, model, sloped=True)
+
+    with gzip.open(path, "rb") as f:
+        raw = f.read()
+    mat = scipy.io.loadmat(_io.BytesIO(raw))
+    names = set(mat.keys())
+    order = param_order(model.spec)
+    for i, _ in enumerate(order):
+        assert f"tensor{i}" in names, f"tensor{i} missing"
+    for meta in ("channels", "architecture", "dimension", "voxel_size"):
+        assert meta in names, meta
+    arch = "".join(
+        chr(int(c)) for c in np.asarray(mat["architecture"]).ravel()
+    ).rstrip("\x00")
+    assert arch == model.architecture
+
+    # scipy's view of each record dequantizes (mask+slope: 0 stays 0,
+    # q -> (q-1)*slope + inter, main.cpp:223-229 convention) to exactly
+    # the package loader's values
+    from unet_studio_tpu.models.unet3d import jax_to_torch
+
+    loaded = load_model(path)
+    for i, (key, layer, which) in enumerate(order):
+        rec = np.asarray(mat[f"tensor{i}"])
+        # record layout is the torch parameters() flattening; scipy
+        # reshapes the column-major MAT stream, so 'F'-ravel restores it
+        got = jax_to_torch(
+            layer, which, np.asarray(loaded.params[key])
+        ).reshape(-1)
+        vals = rec.astype(np.float64).ravel(order="F")
+        if f"tensor{i}.slope" in names:
+            slope, inter = np.asarray(
+                mat[f"tensor{i}.slope"], np.float64
+            ).ravel()[:2]
+            vals = np.where(vals == 0, 0.0, (vals - 1.0) * slope + inter)
+        assert vals.size == got.size, key
+        np.testing.assert_allclose(
+            vals.astype(np.float32), got, rtol=0, atol=0, err_msg=key
+        )

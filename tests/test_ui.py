@@ -125,6 +125,83 @@ class TestServer:
         ).read()
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
+    def test_every_rendered_postproc_button_returns_200(self, server_url):
+        """Every button the option tree renders must be accepted —
+        including summed-probability defragment and anisotropic smoothing
+        (postproc.txt:1-14); unknown commands log and continue
+        (evaluate.cpp:372), never 500."""
+
+        def post(path, body):
+            req = urllib.request.Request(
+                server_url + path, data=json.dumps(body).encode(), method="POST"
+            )
+            return json.loads(urllib.request.urlopen(req).read())
+
+        j = json.loads(urllib.request.urlopen(server_url + "/api/options").read())
+        buttons = [o["id"] for o in j["postproc"] if o["kind"] == "button"]
+        assert "defragment" in buttons and "anisotropic_smoothing" in buttons
+        for cmd in buttons:
+            r = post(
+                "/api/eval/action", {"cmd": cmd, "param1": 0.5, "param2": 1.0}
+            )
+            assert r.get("ok"), (cmd, r)
+        # unknown command: logged, not an error (evaluate.cpp:372)
+        r = post("/api/eval/action", {"cmd": "no_such_command"})
+        assert r.get("ok"), r
+
+    def test_cross_origin_post_rejected(self, server_url):
+        """State-changing POSTs from a foreign web origin are refused
+        (drive-by CSRF guard); localhost origins pass."""
+        body = json.dumps({"cmd": "argmax"}).encode()
+        req = urllib.request.Request(
+            server_url + "/api/eval/action", data=body, method="POST",
+            headers={"Origin": "http://evil.example"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 403
+        req = urllib.request.Request(
+            server_url + "/api/eval/action", data=body, method="POST",
+            headers={"Origin": server_url},
+        )
+        j = json.loads(urllib.request.urlopen(req).read())
+        assert j.get("ok")
+
+    def test_batch_evaluate_and_save_all(self, server_url, tmp_path, rng):
+        """The reference evaluates a checked LIST of volumes and batch-
+        saves with rename-by-example (mainwindow_evaluation.cpp:292-337,
+        384-410): N sources in one request, case switching, save_all
+        deriving every other output name from the current case's."""
+        from unet_studio_tpu.io.nifti import write_nifti
+
+        def post(path, body):
+            req = urllib.request.Request(
+                server_url + path, data=json.dumps(body).encode(), method="POST"
+            )
+            return json.loads(urllib.request.urlopen(req).read())
+
+        srcs = []
+        for name in ("sub-01_T1w", "sub-02_T1w", "sub-03_T1w"):
+            p = str(tmp_path / f"{name}.nii.gz")
+            write_nifti(p, rng.random((16, 16, 16)).astype(np.float32))
+            srcs.append(p)
+        j = post("/api/eval/run", {"sources": srcs})
+        assert len(j["cases"]) == 3 and j["current"] == 0
+        assert all(not c["error"] for c in j["cases"])
+        j2 = post("/api/eval/select", {"index": 2})
+        assert j2["path"] == srcs[2] and j2["dims"] == [16, 16, 16]
+        post("/api/eval/select", {"index": 0})
+        out = str(tmp_path / "sub-01_mask.nii.gz")
+        j3 = post("/api/eval/save_all", {"path": out, "output_type": 0})
+        assert j3["errors"] == []
+        assert sorted(j3["saved"]) == sorted(
+            str(tmp_path / f"sub-{i:02d}_mask.nii.gz") for i in (1, 2, 3)
+        )
+        import os
+
+        for p in j3["saved"]:
+            assert os.path.exists(p)
+
     def test_new_network_and_census(self, server_url, tmp_path, rng):
         from unet_studio_tpu.io.nifti import write_nifti
 

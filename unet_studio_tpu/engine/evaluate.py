@@ -31,7 +31,13 @@ import numpy as np
 
 from ..io.nifti import NiftiImage, apply_flip_swap, canonicalize_lps, read_nifti, write_nifti
 from ..models.unet3d import UNet3d, forward
-from ..ops.morphology import apply_single_component, defragment_by_size_ratio, gaussian_smooth
+from ..ops.morphology import (
+    anisotropic_diffusion,
+    apply_single_component,
+    defragment_by_size_ratio,
+    gaussian_smooth,
+    smooth_mask,
+)
 from ..ops.resample import (
     apply_affine,
     meshgrid_xyz,
@@ -305,8 +311,31 @@ class EvaluateEngine:
             e = np.exp(prob - prob.max(axis=0, keepdims=True))
             sm = e / e.sum(axis=0, keepdims=True)
             case.label_prob = np.where(sm > param1, sm, 0.0).astype(np.float32)
+        elif cmd == "defragment":
+            # summed-probability defragment (postproc.txt:1-3): threshold
+            # the channel-summed probability at param1, smooth the mask
+            # param2 times, defragment it, and zero the background region
+            # in every channel.  The reference GUI wires the button with
+            # these params (mainwindow_evaluation.cpp:513-517); its
+            # postproc_actions lacks the branch, so this implements the
+            # option table's documented semantics.
+            m = prob.sum(axis=0) > param1
+            for _ in range(int(param2)):
+                m = smooth_mask(m)
+            keep = defragment_by_size_ratio(m)
+            out = prob.copy()
+            out[:, ~keep] = 0
+            case.label_prob = out
+        elif cmd == "anisotropic_smoothing":
+            # per-channel edge-preserving smoothing (postproc.txt:14)
+            case.label_prob = np.stack([anisotropic_diffusion(p) for p in prob])
         else:
-            raise ValueError(f"unknown command {cmd}")
+            # unknown commands log and continue (evaluate.cpp:372) so a
+            # rendered UI button can never 500 the server
+            import logging
+
+            logging.getLogger(__name__).error("unknown command %s", cmd)
+            return
         case.is_label = False
 
     # -- file output (evaluate.cpp:424-458) -------------------------------------

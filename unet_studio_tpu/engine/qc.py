@@ -98,10 +98,22 @@ def run_qc(
         return img, lab
 
     # host load/resample pipelined over 4 workers (qc.cpp:273); the device
-    # forward drains them in order
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        futures = [pool.submit(_load, i) for i in range(len(images))]
-        for i, fut in enumerate(futures):
+    # forward drains them in order.  Loads are submitted through a SLIDING
+    # WINDOW of workers+2 outstanding futures — submitting all up front
+    # accumulates unbounded full-res volume pairs (~35-70 MB each) ahead of
+    # the slower device consumer and can exhaust host RAM on large QC sets
+    # (the reference pipelines a bounded window too, qc.cpp:273).
+    n_workers = 4
+    window = n_workers + 2
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        futures: dict[int, object] = {
+            i: pool.submit(_load, i) for i in range(min(window, len(images)))
+        }
+        for i in range(len(images)):
+            fut = futures.pop(i)
+            nxt = i + window
+            if nxt < len(images):
+                futures[nxt] = pool.submit(_load, nxt)
             collapse = ds.max_template_label + 1 if ds.need_shift[i] else 0
             case = QcCase(image=images[i], label=labels[i])
             case.unavailable_before = collapse

@@ -117,3 +117,38 @@ def gaussian_smooth(vol: np.ndarray) -> np.ndarray:
             out, np.array([0.25, 0.5, 0.25], np.float32), axis=axis, mode="nearest"
         )
     return out
+
+
+def smooth_mask(mask: np.ndarray) -> np.ndarray:
+    """One pass of binary morphological smoothing (TIPL
+    ``morphology::smoothing`` contract, used by the ``defragment``
+    postproc action's smoothing count, postproc.txt:3): a voxel joins
+    the mask when more than half of its 6-neighborhood is set, leaves it
+    when fewer than half are, and is unchanged on a tie."""
+    m = mask.astype(np.float32)
+    kernel = np.zeros((3, 3, 3), np.float32)
+    kernel[1, 1, :] = kernel[1, :, 1] = kernel[:, 1, 1] = 1.0
+    kernel[1, 1, 1] = 0.0
+    votes = ndimage.convolve(m, kernel, mode="nearest")
+    out = mask.astype(bool).copy()
+    out[votes > 3] = True
+    out[votes < 3] = False
+    return out
+
+
+def anisotropic_diffusion(vol: np.ndarray, n_iter: int = 3) -> np.ndarray:
+    """Perona-Malik edge-preserving smoothing (host analog of
+    tipl::filter::anisotropic_diffusion; the reference renders the
+    button from postproc.txt:14).  Conductance g = 1/(1+(|∇I|/K)^2)
+    with K re-estimated per iteration from the mean absolute gradient."""
+    out = vol.astype(np.float32).copy()
+    for _ in range(n_iter):
+        flux = np.zeros_like(out)
+        for axis in range(3):
+            fwd = np.diff(out, axis=axis, append=np.take(out, [-1], axis=axis))
+            bwd = -np.diff(out, axis=axis, prepend=np.take(out, [0], axis=axis))
+            k = max(float(np.mean(np.abs(fwd))), 1e-6)
+            flux += fwd / (1.0 + (fwd / k) ** 2)
+            flux += bwd / (1.0 + (bwd / k) ** 2)
+        out += (1.0 / 7.0) * flux
+    return out

@@ -63,6 +63,8 @@ class AppState:
         self.model_path = ""
         self.eval_engine = None
         self.case = None  # current EvalCase
+        self.cases = []  # per-case list (evaluate_list analog)
+        self.cur_index = -1
         self.train_engine = None
         self.train_thread: threading.Thread | None = None
         self.train_pair = None  # (image, label) for aug preview
@@ -86,20 +88,57 @@ class AppState:
             "info": self.model.get_info(),
         }
 
-    def evaluate(self, source: str) -> dict:
+    def evaluate(self, sources) -> dict:
+        """Evaluate one or many volumes (the reference's checked
+        evaluate_list, mainwindow_evaluation.cpp:292-337).  ``sources``:
+        a path, or a list / newline-separated string of paths.  All cases
+        run through the engine's 3-stage pipeline; the first successful
+        case becomes current."""
         from ..engine.evaluate import EvaluateEngine
 
         if self.model is None:
             raise RuntimeError("load a model first")
+        if isinstance(sources, str):
+            sources = [s.strip() for s in sources.splitlines() if s.strip()]
+        if not sources:
+            raise RuntimeError("no source volumes given")
         if self.eval_engine is None:
             self.eval_engine = EvaluateEngine(self.model)
-        case = self.eval_engine.preprocess(source)
+        self.eval_engine.error_msg = ""
+        self.cases = list(self.eval_engine.run(sources))
+        self.case = None
+        self.cur_index = -1
+        rows = []
+        for i, case in enumerate(self.cases):
+            if not case.error_msg and self.case is None:
+                self.case = case
+                self.cur_index = i
+            rows.append(
+                {
+                    "path": case.path,
+                    "dims": list(case.image_dim) if case.label is not None else [],
+                    "error": case.error_msg,
+                }
+            )
+        if self.case is None:
+            raise RuntimeError(self.cases[0].error_msg or "evaluation failed")
+        return {
+            "dims": list(self.case.image_dim),
+            "path": self.case.path,
+            "cases": rows,
+            "current": self.cur_index,
+        }
+
+    def select_case(self, index: int) -> dict:
+        """Switch the current case (evaluate_list row change)."""
+        if not (0 <= index < len(self.cases)):
+            raise RuntimeError(f"no case {index}")
+        case = self.cases[index]
         if case.error_msg:
             raise RuntimeError(case.error_msg)
-        self.eval_engine.infer(case)
-        self.eval_engine.postprocess(case)
         self.case = case
-        return {"dims": list(case.image_dim), "path": case.path}
+        self.cur_index = index
+        return {"dims": list(case.image_dim), "path": case.path, "current": index}
 
     def eval_slice(
         self,
@@ -158,6 +197,35 @@ class AppState:
         if not ok:
             raise RuntimeError("save failed")
         return {"saved": out_path}
+
+    def save_all(self, out_path: str, output_type: int) -> dict:
+        """Batch save: the current case goes to ``out_path``; every other
+        evaluated case's name is derived by applying the same
+        source->output rewrite (the reference's "Save others?" loop with
+        tipl::match_files, mainwindow_evaluation.cpp:384-410)."""
+        from ..utils.match import match_files
+
+        if self.case is None or self.eval_engine is None:
+            raise RuntimeError("no evaluated case")
+        if not self.eval_engine.save_case(self.case, out_path, output_type):
+            raise RuntimeError("save failed")
+        saved = [out_path]
+        errors = []
+        for i, case in enumerate(self.cases):
+            if i == self.cur_index:
+                continue
+            if case.error_msg or case.label is None:
+                errors.append(f"{case.path}: {case.error_msg or 'not evaluated'}")
+                continue
+            result = match_files(self.case.path, out_path, case.path)
+            if result is None:
+                errors.append(f"cannot match file name for {case.path}")
+                continue
+            if self.eval_engine.save_case(case, result, output_type):
+                saved.append(result)
+            else:
+                errors.append(f"cannot save {result}")
+        return {"saved": saved, "errors": errors}
 
     # ---------------- train ----------------
 
@@ -444,18 +512,43 @@ def make_handler(state: AppState):
             except Exception as e:  # noqa: BLE001
                 self._json({"error": str(e)}, 500)
 
+        def _origin_ok(self) -> bool:
+            """CSRF guard for state-changing endpoints: although the server
+            binds localhost, any webpage in the user's browser can fire a
+            cross-origin POST (e.g. re-invoking the CLI via
+            /api/console/run with --save_session to an arbitrary path).
+            Reject any Origin that is not this server itself; requests
+            without an Origin header (curl, tests, same-origin fetches in
+            older browsers) are allowed."""
+            origin = self.headers.get("Origin")
+            if not origin:
+                return True
+            host = urlparse(origin).hostname
+            return host in ("127.0.0.1", "localhost", "::1")
+
         def do_POST(self):
             try:
+                if not self._origin_ok():
+                    self._json({"error": "cross-origin request rejected"}, 403)
+                    return
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
                 u = urlparse(self.path)
                 if u.path == "/api/model/load":
                     self._json(state.load_model(body["path"]))
                 elif u.path == "/api/eval/run":
-                    self._json(state.evaluate(body["source"]))
+                    self._json(
+                        state.evaluate(body.get("sources") or body["source"])
+                    )
+                elif u.path == "/api/eval/select":
+                    self._json(state.select_case(int(body["index"])))
                 elif u.path == "/api/eval/save":
                     self._json(
                         state.save_result(body["path"], int(body.get("output_type", 0)))
+                    )
+                elif u.path == "/api/eval/save_all":
+                    self._json(
+                        state.save_all(body["path"], int(body.get("output_type", 0)))
                     )
                 elif u.path == "/api/train/start":
                     self._json(state.start_training(body))
