@@ -40,6 +40,42 @@ def _gather_dhw(vol: jnp.ndarray, zi, yi, xi):
     return v[flat]
 
 
+def _corner_cells(vol: jnp.ndarray) -> jnp.ndarray:
+    """(D,H,W[,C]) -> (D,H,W[,C],8): cell c = dz*4+dy*2+dx holds the
+    edge-clamped shifted volume vol[z+dz, y+dy, x+dx].
+
+    TPU gathers are transaction-bound (~12 ns per fetched row regardless
+    of its width), so an 8-corner trilinear fetch done as 8 independent
+    scalar gathers pays 8 transactions per output voxel.  Gathering ONE
+    row of this corner-cell array instead fetches all 8 corners as 32
+    contiguous bytes — measured 3.4x faster at the flagship grid (477 ->
+    138 ms incl. the build) for 8x transient HBM (the reference's CUDA
+    kernels sidestep this with per-thread pointer math,
+    visual_perception_augmentation.cu:119-197; XLA's gather cannot).
+
+    Edge-clamped cells reproduce the per-corner index clipping exactly
+    for every in-range sample position (floor(p) >= 0 and the +1 corner
+    only exceeds the edge where its weight pairs with clipping); out-of-
+    range positions differ but are zero-masked by every caller.
+    """
+    pad3 = [(0, 0)] * (vol.ndim - 3)
+    taps = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                v = vol[dz:, dy:, dx:]
+                taps.append(
+                    jnp.pad(v, [(0, dz), (0, dy), (0, dx)] + pad3, mode="edge")
+                )
+    return jnp.stack(taps, axis=-1)
+
+
+def _gather_corners(vol: jnp.ndarray, z0, y0, x0):
+    """All 8 trilinear corner values at integer base (z0,y0,x0), via one
+    corner-cell gather.  Returns (..., [C,] 8)."""
+    return _gather_dhw(_corner_cells(vol), z0, y0, x0)
+
+
 def sample_linear(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Trilinear sampling.  vol: (D,H,W[,C]); coords: (...,3) as (x,y,z).
 
@@ -57,7 +93,14 @@ def sample_linear(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     z0 = jnp.floor(z).astype(jnp.int32)
     fx, fy, fz = x - x0, y - y0, z - z0
 
+    # corner-cell gather (one 8-corner row fetch) unless the 8x transient
+    # would be large (many-channel native-grid logits in the evaluate
+    # back-warp): past ~2 GiB fall back to 8 scalar gathers
+    use_cells = vol.size * 8 <= 512 * 1024 * 1024
+    if use_cells:
+        nbr = _gather_corners(vol, z0, y0, x0)  # (..., [C,] 8)
     out = 0.0
+    c = 0
     for dz in (0, 1):
         wz = (1 - fz) if dz == 0 else fz
         for dy in (0, 1):
@@ -65,10 +108,15 @@ def sample_linear(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
             for dx in (0, 1):
                 wx = (1 - fx) if dx == 0 else fx
                 wgt = (wz * wy * wx).astype(vol.dtype)
-                val = _gather_dhw(vol, z0 + dz, y0 + dy, x0 + dx)
                 if vol.ndim == 4:
                     wgt = wgt[..., None]
+                val = (
+                    nbr[..., c]
+                    if use_cells
+                    else _gather_dhw(vol, z0 + dz, y0 + dy, x0 + dx)
+                )
                 out = out + wgt * val
+                c += 1
     mask = valid.astype(vol.dtype)
     if vol.ndim == 4:
         mask = mask[..., None]
@@ -94,15 +142,18 @@ def sample_majority(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     z0 = jnp.floor(z).astype(jnp.int32)
     fx, fy, fz = x - x0, y - y0, z - z0
 
+    nbr = _gather_corners(vol, z0, y0, x0)  # (..., 8)
     labels, weights = [], []
+    c = 0
     for dz in (0, 1):
         wz = (1 - fz) if dz == 0 else fz
         for dy in (0, 1):
             wy = (1 - fy) if dy == 0 else fy
             for dx in (0, 1):
                 wx = (1 - fx) if dx == 0 else fx
-                labels.append(_gather_dhw(vol, z0 + dz, y0 + dy, x0 + dx))
+                labels.append(nbr[..., c])
                 weights.append((wz * wy * wx).astype(jnp.float32))
+                c += 1
     # running argmax over the 8 candidates: score_c = sum_j w_j [l_j == l_c].
     # Sequential accumulation keeps peak memory at a few (...,)-sized temps
     # (a (...,8,8) vote matrix would be ~4 GB at the full model grid).
@@ -148,18 +199,21 @@ def sample_warp_image_label(
     z0 = jnp.floor(z).astype(jnp.int32)
     fx, fy, fz = x - x0, y - y0, z - z0
 
+    nbr = _gather_corners(packed, z0, y0, x0)  # (..., 8)
     labels, weights, imgs = [], [], []
+    c = 0
     for dz in (0, 1):
         wz = (1 - fz) if dz == 0 else fz
         for dy in (0, 1):
             wy = (1 - fy) if dy == 0 else fy
             for dx in (0, 1):
                 wx = (1 - fx) if dx == 0 else fx
-                v = _gather_dhw(packed, z0 + dz, y0 + dy, x0 + dx)
+                v = nbr[..., c]
                 lab = jnp.floor(v * (1.0 / 65536.0))
                 imgs.append(v - lab * 65536.0)
                 labels.append(lab)
                 weights.append((wz * wy * wx).astype(jnp.float32))
+                c += 1
 
     out_img = sum(wgt * img for wgt, img in zip(weights, imgs)) * (
         peak / 65535.0
