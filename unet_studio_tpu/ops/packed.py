@@ -439,6 +439,10 @@ def instance_norm_packed(x3, scale, bias, c: int, eps: float = 1e-5):
     exists to avoid — measured 20 ms/norm that way vs ~1 ms here), then
     the tiny (128,) vectors are folded across the bx position groups."""
     mean, inv, n = _in_packed_stats(x3, c, eps)
+    return _in_apply(x3, scale, bias, mean, inv, c)
+
+
+def _in_apply(x3, scale, bias, mean, inv, c):
     bx = _LANE // c
     a = jnp.tile(inv * scale.astype(jnp.float32), bx).astype(x3.dtype)
     b = jnp.tile(
@@ -448,25 +452,33 @@ def instance_norm_packed(x3, scale, bias, c: int, eps: float = 1e-5):
 
 
 def _in_packed_stats(x3, c, eps):
+    """Per-channel (mean, 1/std) in ONE volume read: lane-wise sum and
+    sum-of-squares from the fused kernel, folded across bx position
+    groups; var = E[x^2] - mean^2 (f32 accumulation)."""
     bx = _LANE // c
     n = x3.shape[0] * x3.shape[1] * bx
-    mean = lane_sum(x3).reshape(bx, c).sum(0) / n
-    mean_l = jnp.tile(mean, bx)
-    var = lane_sqdiff(x3, mean_l).reshape(bx, c).sum(0) / n
-    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    s, sq = lane_sum_sq(x3)
+    mean = s.reshape(bx, c).sum(0) / n
+    ex2 = sq.reshape(bx, c).sum(0) / n
+    var = jnp.maximum(ex2 - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
     return mean, inv, n
 
 
 def _in_packed_fwd(x3, scale, bias, c, eps):
-    return instance_norm_packed(x3, scale, bias, c, eps), (x3, scale)
+    mean, inv, n = _in_packed_stats(x3, c, eps)
+    out = _in_apply(x3, scale, bias, mean, inv, c)
+    # mean/inv are (C,) vectors: carrying them as residuals saves the
+    # backward's two full-volume stats reads
+    return out, (x3, scale, mean, inv)
 
 
 def _in_packed_bwd(c, eps, res, g3):
     """Lane-wise analog of the 5D instance-norm VJP (unet3d.py):
     dx = inv*scale * (g - mean(g) - xhat * mean(g*xhat))."""
-    x3, scale = res
+    x3, scale, mean, inv = res
     bx = _LANE // c
-    mean, inv, n = _in_packed_stats(x3, c, eps)
+    n = x3.shape[0] * x3.shape[1] * bx
     mean_l = jnp.tile(mean, bx).astype(x3.dtype)
     inv_l = jnp.tile(inv, bx).astype(x3.dtype)
     xhat = (x3 - mean_l) * inv_l
@@ -1136,6 +1148,11 @@ def _lane_reduce_kernel(mode, n_in):
         x = refs[0][0].astype(jnp.float32)
         if mode == "sum":
             o_ref[0, :] += jnp.sum(x, axis=0)
+        elif mode == "sum_sq":
+            # one read yields both first moments: sum and sum of squares
+            # (E[x^2]-mean^2 variance; saves the separate sqdiff pass)
+            o_ref[0, :] += jnp.sum(x, axis=0)
+            o_ref[1, :] += jnp.sum(x * x, axis=0)
         elif mode == "sqdiff":
             m = refs[1][0].astype(jnp.float32)
             o_ref[0, :] += jnp.sum(jnp.square(x - m), axis=0)
@@ -1185,6 +1202,12 @@ def _lane_reduce(mode, x3, *extra_vecs_or_vols):
 
 def lane_sum(x3):
     return _lane_reduce("sum", x3)[0]
+
+
+def lane_sum_sq(x3):
+    """(sum, sum_sq) per lane in ONE volume read."""
+    r = _lane_reduce("sum_sq", x3)
+    return r[0], r[1]
 
 
 def lane_sqdiff(x3, mean_lane):
