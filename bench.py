@@ -135,7 +135,7 @@ def main() -> int:
     # backends block_until_ready is unreliable and per-call dispatch adds
     # tens of ms, so the loop runs on device and we sync once via a D2H
     # fetch of a scalar that depends on every iteration.
-    n_iters = 10
+    n_iters = 30
 
     @jax.jit
     def timed_loop(params, x):
@@ -190,7 +190,9 @@ def main() -> int:
         _ = np.asarray(m)  # compile + warm, sync via D2H
         p, o, m = step_fn(p, o, img, lab, tmpl, shift, keys, lr)
         _ = np.asarray(m)  # second warmup: first call with committed outputs
-        n_steps = 2
+        # enough steps that the one D2H sync's tunnel round-trip latency
+        # (~100 ms on the dev link) is amortized out of the per-item cost
+        n_steps = 4
         t0 = time.perf_counter()
         for _i in range(n_steps):
             p, o, m = step_fn(p, o, img, lab, tmpl, shift, keys, lr)
