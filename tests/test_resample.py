@@ -16,7 +16,9 @@ from unet_studio_tpu.ops.resample import (
     sample_linear,
     sample_majority,
     sample_warp_image_label,
+    sample_warp_image_label_supercell,
     scale_to_shape,
+    supercell_warp_shape_ok,
 )
 
 
@@ -100,3 +102,78 @@ def test_normalize01():
     np.testing.assert_allclose(np.asarray(normalize01(v)), [0, 0.5, 1.0])
     z = jnp.zeros(3)
     np.testing.assert_array_equal(np.asarray(normalize01(z)), 0.0)
+
+
+def test_supercell_warp_matches_base_identity(rng):
+    img = rng.random((12, 14, 16)).astype(np.float32)
+    lab = ((rng.random((12, 14, 16)) * 5).astype(np.float32)) // 1
+    grid = meshgrid_xyz((12, 14, 16))
+    bi, bl = sample_warp_image_label(jnp.asarray(img), jnp.asarray(lab), grid)
+    si, sl = sample_warp_image_label_supercell(
+        jnp.asarray(img), jnp.asarray(lab), grid
+    )
+    np.testing.assert_allclose(np.asarray(si), np.asarray(bi), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sl), np.asarray(bl))
+
+
+def test_supercell_warp_matches_base_moderate_affine(rng):
+    """Jacobian row-sums < 2: the supercell window always covers the
+    block, so the result must equal the corner-cell sampler exactly."""
+    img = rng.random((24, 32, 28)).astype(np.float32) * 3.0
+    lab = ((rng.random((24, 32, 28)) * 6).astype(np.float32)) // 1
+    m = affine_matrix(
+        translation=(2.3, -1.7, 0.9),
+        rotation=(0.15, -0.2, 0.1),
+        scaling=(1.2, 0.85, 1.1),
+        shape_dhw=(24, 32, 28),
+    )
+    coords = apply_affine(meshgrid_xyz((24, 32, 28)), m)
+    bi, bl = sample_warp_image_label(jnp.asarray(img), jnp.asarray(lab), coords)
+    si, sl = sample_warp_image_label_supercell(
+        jnp.asarray(img), jnp.asarray(lab), coords
+    )
+    np.testing.assert_allclose(np.asarray(si), np.asarray(bi), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sl), np.asarray(bl))
+
+
+def test_supercell_warp_worst_draw_mismatch_tiny(rng):
+    """At the worst default-options draw (zoom 1.5625 + rotation 0.2 each
+    axis + a wiggle field), window clamping may deviate — but only on a
+    tiny fraction of voxels."""
+    img = rng.random((24, 32, 28)).astype(np.float32)
+    lab = ((rng.random((24, 32, 28)) * 5).astype(np.float32)) // 1
+    m = affine_matrix(
+        rotation=(0.2, 0.2, 0.2),
+        scaling=(1.5625, 1.5625, 1.5625),
+        shape_dhw=(24, 32, 28),
+    )
+    grid = meshgrid_xyz((24, 32, 28))
+    coords = apply_affine(grid + 2.0 * jnp.sin(grid * 0.3), m)
+    bi, bl = sample_warp_image_label(jnp.asarray(img), jnp.asarray(lab), coords)
+    si, sl = sample_warp_image_label_supercell(
+        jnp.asarray(img), jnp.asarray(lab), coords
+    )
+    assert (np.abs(np.asarray(si) - np.asarray(bi)) > 1e-3).mean() < 0.01
+    assert (np.asarray(sl) == np.asarray(bl)).mean() > 0.99
+
+
+def test_supercell_shape_gate():
+    assert supercell_warp_shape_ok((192, 224, 192))
+    assert not supercell_warp_shape_ok((191, 224, 192))
+    assert not supercell_warp_shape_ok((4, 224, 192))
+
+
+def test_supercell_linear_sampler_matches_sample_linear(rng):
+    from unet_studio_tpu.ops.resample import SupercellLinearSampler
+
+    vol = rng.random((16, 20, 24)).astype(np.float32) * 2.0
+    m = affine_matrix(
+        translation=(1.1, -0.7, 2.0),
+        rotation=(0.1, 0.2, -0.15),
+        scaling=(1.1, 0.9, 1.2),
+        shape_dhw=(16, 20, 24),
+    )
+    coords = apply_affine(meshgrid_xyz((16, 20, 24)), m)
+    ref = sample_linear(jnp.asarray(vol), coords)
+    got = SupercellLinearSampler(jnp.asarray(vol)).sample(coords)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

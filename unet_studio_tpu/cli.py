@@ -123,10 +123,19 @@ def cmd_train(args) -> int:
     model_path = resolve_model_path(args)
     if os.path.exists(model_path):
         print(f"loading existing model {model_path}")
-        model = load_model(model_path)
+        try:
+            model = load_model(model_path)
+        except Exception as exc:  # noqa: BLE001  (train.cpp:1110-1111)
+            print(f"error: failed to load model from {model_path}: {exc}",
+                  file=sys.stderr)
+            return 1
     else:
-        lbl = read_nifti(labels[0])
-        img = read_nifti(images[0])
+        try:
+            lbl = read_nifti(labels[0])
+            img = read_nifti(images[0])
+        except Exception as exc:  # noqa: BLE001  (train.cpp:1119-1122)
+            print(f"error: cannot load label/image file: {exc}", file=sys.stderr)
+            return 1
         out_count = args.out_count or int(np.max(lbl.data)) + 1
         architecture = args.architecture or default_architecture(out_count)
         model = UNet3d.create(args.in_count, out_count, architecture, seed=0)

@@ -520,19 +520,25 @@ class TrainEngine:
 
     def run(self, chart: bool = True) -> None:
         """Blocking loop to param.epoch (the headless path,
-        train.cpp:913-919)."""
+        train.cpp:913-919).  Any failure (unreadable file, device error)
+        sets error_msg + aborted instead of escaping — the reference wraps
+        every pipeline stage the same way (train.cpp:709-721,791-802)."""
         start = time.time()
         start_epoch = self.cur_epoch
         if chart:
             print("1" + " " * 50 + "0.1" + " " * 47 + "0.01")
-        while self.cur_epoch < self.param.epoch and not self.aborted:
-            while self.paused and not self.aborted:
-                time.sleep(0.1)  # cooperative pause (train.hpp:99)
-            if self.aborted:
-                break
-            info = self.run_epoch()
-            if chart:
-                self._print_chart_row(info, start, start_epoch)
+        try:
+            while self.cur_epoch < self.param.epoch and not self.aborted:
+                while self.paused and not self.aborted:
+                    time.sleep(0.1)  # cooperative pause (train.hpp:99)
+                if self.aborted:
+                    break
+                info = self.run_epoch()
+                if chart:
+                    self._print_chart_row(info, start, start_epoch)
+        except Exception as exc:  # noqa: BLE001
+            self.error_msg = self.error_msg or f"{type(exc).__name__}: {exc}"
+            self.aborted = True
 
     def _print_chart_row(self, info, start_time, start_epoch) -> None:
         """log-scale ASCII error chart (train.cpp:853-888)."""

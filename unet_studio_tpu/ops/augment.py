@@ -37,6 +37,7 @@ Layout: image (D, H, W, C) float32; label (D, H, W) float32.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, fields
 from functools import partial
 
@@ -46,10 +47,13 @@ import numpy as np
 
 from .perlin import perlin_octaves
 from .resample import (
+    SupercellLinearSampler,
     affine_matrix,
     meshgrid_xyz,
     sample_linear,
     sample_warp_image_label,
+    sample_warp_image_label_supercell,
+    supercell_warp_shape_ok,
 )
 
 
@@ -157,6 +161,47 @@ def _apply(gate, fn, *args):
     if len(args) > 1:
         return jax.lax.cond(gate, fn, lambda *a: a, *args)
     return jax.lax.cond(gate, fn, lambda a: a, args[0])
+
+
+def _supercell_warp_ok(opt: AugOptions, shape_dhw) -> bool:
+    """Static routing gate for the supercell warp (trace-time decision).
+
+    The supercell sampler is exact while the warp's local Jacobian
+    row-sums stay <= ~2 (see sample_warp_image_label_supercell); beyond
+    that it clamps taps to the 6-wide window.  Option values bound the
+    worst possible random draw, so gate on them: the worst-draw affine
+    row-sum (zoom x aspect x rotation) must be moderate and the nonlinear
+    terms (lens, foci, perspective) near their defaults.  Defaults give
+    an affine bound ~2.1 -> supercell used; extreme settings fall back to
+    the exact corner-cell sampler."""
+    if os.environ.get("UNET_TPU_NO_SUPERCELL"):
+        return False
+    if not supercell_warp_shape_ok(shape_dhw):
+        return False
+    s_max = float(opt.aspect_ratio) / float(opt.scaling_down)
+
+    def rot(ax_, ay_, az_):
+        cx, sx = np.cos(ax_), np.sin(ax_)
+        cy, sy = np.cos(ay_), np.sin(ay_)
+        cz, sz = np.cos(az_), np.sin(az_)
+        rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        return rx @ ry @ rz
+
+    rs = max(
+        np.max(np.sum(np.abs(rot(i * opt.rotation_x, j * opt.rotation_y,
+                                 k * opt.rotation_z)), axis=1))
+        for i in (-1, 1)
+        for j in (-1, 1)
+        for k in (-1, 1)
+    )
+    return (
+        s_max * float(rs) <= 2.6
+        and float(opt.lens_distortion) <= 0.2
+        and float(opt.distortion_mag_max) <= 0.2
+        and float(opt.perspective) <= 0.2
+    )
 
 
 def _normalize(img):
@@ -402,9 +447,16 @@ def visual_perception_augmentation(
     coords = pos @ trans34[:, :3].T + trans34[:, 3]
 
     # warp is gather-bound on TPU: fuse image ch0 + label into one packed
-    # 8-corner fetch (sample_warp_image_label) when labels are categorical
+    # 8-corner fetch (sample_warp_image_label) when labels are categorical;
+    # with moderate option bounds, the supercell variant cuts the gather
+    # transactions 8x (one row per 2x2x2 output block)
     if is_label:
-        ch0, out_label = sample_warp_image_label(image[..., 0], label, coords)
+        warp_fn = (
+            sample_warp_image_label_supercell
+            if _supercell_warp_ok(opt, shape_dhw)
+            else sample_warp_image_label
+        )
+        ch0, out_label = warp_fn(image[..., 0], label, coords)
         if image.shape[-1] == 1:
             out_image = ch0[..., None]
         else:
@@ -438,10 +490,19 @@ def visual_perception_augmentation(
         def stamp(img):
             # stamps are smooth background clutter: render them at half
             # resolution (1/8 the gather traffic) and nearest-upsample;
-            # same distribution, warp cost /8.
+            # same distribution, warp cost /8.  With a single channel, one
+            # supercell table (built once) serves all 5 stamp warps at a
+            # further 1/8 of the gather transactions each.
             masked = image * (label != 0)[..., None]
             half = (d // 2, h // 2, w // 2)
             grid_half = meshgrid_xyz(half) * 2.0
+            use_sc = (
+                image.shape[-1] == 1
+                and not os.environ.get("UNET_TPU_NO_SUPERCELL")
+                and supercell_warp_shape_ok(shape_dhw)
+                and all(s % 2 == 0 for s in half)
+            )
+            sampler = SupercellLinearSampler(masked[..., 0]) if use_sc else None
             out = img
             for it in range(5):
                 ks = jax.random.split(jax.random.fold_in(k_args, it), 4)
@@ -456,7 +517,11 @@ def visual_perception_augmentation(
                     tuple(sc[i] for i in range(3)),
                     shape_dhw,
                 )
-                bg = sample_linear(masked, grid_half @ m34[:, :3].T + m34[:, 3])
+                coords = grid_half @ m34[:, :3].T + m34[:, 3]
+                if use_sc:
+                    bg = sampler.sample(coords)[..., None]
+                else:
+                    bg = sample_linear(masked, coords)
                 bg = jnp.maximum(bg, 0.0)
                 targets = (
                     _uniform(ks[3], 0.0, 1.0, (bg.shape[-1],))
