@@ -209,3 +209,34 @@ class TestAugment:
         d["noise_mag"] = 0.3
         o = AugOptions.from_dict(d)
         assert o.noise == 4 and abs(o.noise_mag - 0.3) < 1e-9
+
+
+def test_subject_mode_supercell_matches_fallback(rng):
+    """is_label=False warp: the supercell route must match the corner-cell
+    samplers (moderate default-draw transforms are within the exact
+    window)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unet_studio_tpu.ops.augment import AugOptions
+    from unet_studio_tpu.ops import augment as aug_mod
+
+    img = jnp.asarray(rng.random((16, 16, 16, 1)).astype(np.float32))
+    lab = jnp.asarray(rng.random((16, 16, 16)).astype(np.float32))
+    key = jax.random.key(7)
+    # geometry-only options so the comparison isolates the warp
+    opts = AugOptions(
+        cropping=0, truncation_z=0, downsample_x=0, downsample_y=0,
+        downsample_z=0, noise=0, ambient=0, diffuse=0, specular=0,
+        zero_background=0, rubber_stamping=0, perlin_texture=0,
+    )
+    fn = aug_mod.visual_perception_augmentation.__wrapped__
+    oi, ol = fn(img, lab, key, opts, False)
+    orig = aug_mod._supercell_warp_ok
+    aug_mod._supercell_warp_ok = lambda *a: False
+    try:
+        ri, rl = fn(img, lab, key, opts, False)
+    finally:
+        aug_mod._supercell_warp_ok = orig
+    np.testing.assert_allclose(np.asarray(oi), np.asarray(ri), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ol), np.asarray(rl), atol=1e-4)

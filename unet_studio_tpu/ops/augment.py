@@ -462,6 +462,12 @@ def visual_perception_augmentation(
         else:
             rest = sample_linear(image[..., 1:], coords)
             out_image = jnp.concatenate([ch0[..., None], rest], axis=-1)
+    elif image.shape[-1] == 1 and _supercell_warp_ok(opt, shape_dhw):
+        # subject mode warps image AND (continuous) label linearly through
+        # the same field: two supercell samplers cut the gather
+        # transactions 8x each (both exact under the same option gate)
+        out_image = SupercellLinearSampler(image[..., 0]).sample(coords)[..., None]
+        out_label = SupercellLinearSampler(label).sample(coords)
     else:
         out_image = sample_linear(image, coords)
         out_label = sample_linear(label, coords)
