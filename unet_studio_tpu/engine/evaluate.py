@@ -129,6 +129,7 @@ class EvaluateEngine:
         self.lookahead = lookahead
         self.error_msg = ""
         self._infer_cache: dict = {}
+        self._dev_params = None  # device-resident (params, state), lazy
 
     # -- stage 1: read + preprocess -----------------------------------------
 
@@ -195,13 +196,15 @@ class EvaluateEngine:
         inv34[2, 2] = 1.0 / m[2, 2]
         inv34[:, 3] = -m[:, 3] / m[:, :3].diagonal()
 
-        spec, params = self.model.spec, self.model.params
-        state = self.model.state
+        spec = self.model.spec
         cdt = self.compute_dtype
         postproc = self.model.postproc
 
         @jax.jit
-        def run(chunk):  # chunk: (D,H,W,C) native grid
+        def run(params, state, chunk):  # chunk: (D,H,W,C) native grid
+            # params/state arrive as device-resident arguments (uploaded
+            # once, shared by every per-shape compilation) rather than
+            # being baked into each executable as constants
             # fov_pre: sample native volume on the model grid
             coords = apply_affine(meshgrid_xyz(model_dhw), jnp.asarray(fwd34))
             model_in = sample_linear(chunk, coords)  # (Dm,Hm,Wm,C)
@@ -240,9 +243,15 @@ class EvaluateEngine:
         if case.error_msg or not case.model_io:
             return case
         run = self._infer_fn(tuple(case.image_dim), case.image_vs)
+        if self._dev_params is None:
+            self._dev_params = (
+                jax.device_put(self.model.params),
+                jax.device_put(self.model.state),
+            )
+        params, state = self._dev_params
         labels, probs, fgs = [], [], []
         for chunk in case.model_io:
-            label, prob, fg = run(jnp.asarray(chunk))
+            label, prob, fg = run(params, state, jnp.asarray(chunk))
             labels.append(label)
             probs.append(prob)
             fgs.append(fg)
