@@ -90,3 +90,43 @@ def test_cli_evaluate_and_qc(tmp_path, capsys):
     assert report.exists()
     lines = report.read_text().strip().split("\n")
     assert len(lines) == 2 and lines[0].startswith("image\t")
+
+
+def test_cli_train_unreadable_first_pair_clean_error(tmp_path, capsys):
+    """A corrupt first label/image must produce the reference's clean
+    'cannot load' error and rc=1, not a traceback (train.cpp:1119-1122)."""
+    d = tmp_path / "bids"
+    d.mkdir()
+    (d / "sub-a_T1w.nii.gz").write_bytes(b"\x1f\x8b" + b"\x00" * 50)
+    (d / "sub-a_dseg.nii.gz").write_bytes(b"\x1f\x8b" + b"\x00" * 50)
+    rc = main([
+        "--action", "train", "--model", str(tmp_path / "m.nz"),
+        "--bids", str(d), "--batch_size", "1", "--epoch", "1",
+    ])
+    assert rc == 1
+    assert "cannot load" in capsys.readouterr().err
+
+
+def test_train_engine_run_catches_exceptions(tmp_path):
+    """TrainEngine.run must convert a mid-training failure into
+    error_msg + aborted (train.cpp:709-721), not an escaping exception."""
+    from unet_studio_tpu.engine.train import TrainEngine
+
+    eng = TrainEngine.__new__(TrainEngine)
+    eng.cur_epoch = 0
+    eng.aborted = False
+    eng.paused = False
+    eng.error_msg = ""
+
+    class _P:
+        epoch = 3
+
+    eng.param = _P()
+
+    def boom():
+        raise RuntimeError("disk on fire")
+
+    eng.run_epoch = boom
+    eng.run(chart=False)
+    assert eng.aborted
+    assert "disk on fire" in eng.error_msg
