@@ -28,13 +28,19 @@ TERM_COUNT = 20
 
 def gaussian3(vol: jnp.ndarray) -> jnp.ndarray:
     """Separable [1,2,1]/4 smoothing per axis == the classic 3^3 binomial
-    kernel TIPL's ``filter::gaussian`` applies.  vol: (D,H,W)."""
+    kernel TIPL's ``filter::gaussian`` applies.  vol: (D,H,W).
+
+    One edge-pad per axis, then three overlapping slices feed a fused
+    weighted sum (the earlier concat form materialized two full copies
+    per axis)."""
 
     def blur_axis(v, axis):
-        lo = jnp.concatenate([v.take(jnp.array([0]), axis), v], axis)
-        lo = jax.lax.slice_in_dim(lo, 0, v.shape[axis], axis=axis)
-        hi = jnp.concatenate([v, v.take(jnp.array([-1]), axis)], axis)
-        hi = jax.lax.slice_in_dim(hi, 1, v.shape[axis] + 1, axis=axis)
+        n = v.shape[axis]
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (1, 1)
+        vp = jnp.pad(v, pad, mode="edge")
+        lo = jax.lax.slice_in_dim(vp, 0, n, axis=axis)
+        hi = jax.lax.slice_in_dim(vp, 2, n + 2, axis=axis)
         return 0.25 * lo + 0.5 * v + 0.25 * hi
 
     for ax in range(3):
