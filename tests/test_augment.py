@@ -240,3 +240,24 @@ def test_subject_mode_supercell_matches_fallback(rng):
         aug_mod._supercell_warp_ok = orig
     np.testing.assert_allclose(np.asarray(oi), np.asarray(ri), atol=1e-4)
     np.testing.assert_allclose(np.asarray(ol), np.asarray(rl), atol=1e-4)
+
+
+def test_supercell_gate_on_option_bounds(monkeypatch):
+    from unet_studio_tpu.ops.augment import AugOptions, _supercell_warp_ok
+
+    shape = (192, 224, 192)
+    assert _supercell_warp_ok(AugOptions(), shape)
+    # extreme zoom widens the worst-draw Jacobian past the window
+    assert not _supercell_warp_ok(AugOptions(scaling_down=0.4), shape)
+    assert not _supercell_warp_ok(AugOptions(lens_distortion=0.4), shape)
+    assert not _supercell_warp_ok(AugOptions(aspect_ratio=2.0), shape)
+    # single-axis rotations are norm-preserving — row-sums stay small, so
+    # even a large angle keeps the supercell window valid
+    assert _supercell_warp_ok(AugOptions(rotation_x=1.5), shape)
+    assert not _supercell_warp_ok(
+        AugOptions(rotation_x=2.0, rotation_y=2.0, rotation_z=2.0), shape
+    )
+    # odd dims cannot blockify
+    assert not _supercell_warp_ok(AugOptions(), (191, 224, 192))
+    monkeypatch.setenv("UNET_TPU_NO_SUPERCELL", "1")
+    assert not _supercell_warp_ok(AugOptions(), shape)
