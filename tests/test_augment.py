@@ -261,3 +261,33 @@ def test_supercell_gate_on_option_bounds(monkeypatch):
     assert not _supercell_warp_ok(AugOptions(), (191, 224, 192))
     monkeypatch.setenv("UNET_TPU_NO_SUPERCELL", "1")
     assert not _supercell_warp_ok(AugOptions(), shape)
+
+
+def test_multichannel_template_warp_consistent(rng):
+    """in_count>1 template mode: extra channels must ride the same warp
+    field as channel 0 on both routing paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from unet_studio_tpu.ops import augment as aug_mod
+    from unet_studio_tpu.ops.augment import AugOptions
+
+    img = jnp.asarray(rng.random((16, 16, 16, 2)).astype(np.float32))
+    lab = jnp.asarray(((rng.random((16, 16, 16)) * 3) // 1).astype(np.float32))
+    key = jax.random.key(11)
+    opts = AugOptions(
+        cropping=0, truncation_z=0, downsample_x=0, downsample_y=0,
+        downsample_z=0, noise=0, ambient=0, diffuse=0, specular=0,
+        zero_background=0, rubber_stamping=0, perlin_texture=0,
+    )
+    fn = aug_mod.visual_perception_augmentation.__wrapped__
+    oi, ol = fn(img, lab, key, opts, True)
+    orig = aug_mod._supercell_warp_ok
+    aug_mod._supercell_warp_ok = lambda *a: False
+    try:
+        ri, rl = fn(img, lab, key, opts, True)
+    finally:
+        aug_mod._supercell_warp_ok = orig
+    assert oi.shape == img.shape
+    np.testing.assert_allclose(np.asarray(oi), np.asarray(ri), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(ol), np.asarray(rl))

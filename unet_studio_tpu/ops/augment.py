@@ -451,14 +451,24 @@ def visual_perception_augmentation(
     # with moderate option bounds, the supercell variant cuts the gather
     # transactions 8x (one row per 2x2x2 output block)
     if is_label:
+        use_sc_warp = _supercell_warp_ok(opt, shape_dhw)
         warp_fn = (
             sample_warp_image_label_supercell
-            if _supercell_warp_ok(opt, shape_dhw)
+            if use_sc_warp
             else sample_warp_image_label
         )
         ch0, out_label = warp_fn(image[..., 0], label, coords)
         if image.shape[-1] == 1:
             out_image = ch0[..., None]
+        elif use_sc_warp:
+            rest = jnp.stack(
+                [
+                    SupercellLinearSampler(image[..., c]).sample(coords)
+                    for c in range(1, image.shape[-1])
+                ],
+                axis=-1,
+            )
+            out_image = jnp.concatenate([ch0[..., None], rest], axis=-1)
         else:
             rest = sample_linear(image[..., 1:], coords)
             out_image = jnp.concatenate([ch0[..., None], rest], axis=-1)
