@@ -286,21 +286,33 @@ def _unblockify(arr: jnp.ndarray, shape_dhw) -> jnp.ndarray:
 def _extract_corners(g: jnp.ndarray, oz, oy, ox):
     """Per-voxel 8-corner extraction from supercell rows WITHOUT a
     per-voxel gather (which would be transaction-bound again): staged
-    one-hot contractions, each a batched tiny matmul the compiler keeps
-    on-chip.  g (N,6,6,6); o* (N,8) int32 in [0,4].  Returns (N,8,8)
-    corner values, minor order c = tz*4 + ty*2 + tx."""
+    one-hot contractions, written as unrolled slice-FMA sums so they
+    lower to plain fused elementwise ops on every backend (a batched
+    1M x (36x6)x(6x16) dot_general risks a pathological tiny-matmul
+    lowering on TPU).  g (N,6,6,6); o* (N,8) int32 in [0,4].  Returns
+    (N,8,8) corner values, minor order c = tz*4 + ty*2 + tx."""
     i6 = jnp.arange(_SC_L, dtype=jnp.int32)
     t2 = jnp.arange(2, dtype=jnp.int32)
 
-    def onehot(o):
+    def onehot(o):  # (N,8,2,6): [i == o_v + tap]
         return (
             i6[None, None, None, :] == o[:, :, None, None] + t2[None, None, :, None]
         ).astype(g.dtype)
 
-    u = jnp.einsum("nzyx,nvax->nvazy", g, onehot(ox))
-    u = jnp.einsum("nvazy,nvby->nvabz", u, onehot(oy))
-    u = jnp.einsum("nvabz,nvcz->nvcba", u, onehot(oz))  # (N,8,tz,ty,tx)
-    return u.reshape(g.shape[0], 8, 8)
+    wx, wy, wz = onehot(ox), onehot(oy), onehot(oz)
+    u = sum(
+        g[:, None, None, :, :, i] * wx[:, :, :, None, None, i]
+        for i in range(_SC_L)
+    )  # (N, v8, tx2, z6, y6)
+    u = sum(
+        u[:, :, :, None, :, i] * wy[:, :, None, :, None, i]
+        for i in range(_SC_L)
+    )  # (N, v8, tx2, ty2, z6)
+    u = sum(
+        u[:, :, :, :, None, i] * wz[:, :, None, None, :, i]
+        for i in range(_SC_L)
+    )  # (N, v8, tx2, ty2, tz2)
+    return u.transpose(0, 1, 4, 3, 2).reshape(g.shape[0], 8, 8)
 
 
 def supercell_warp_shape_ok(shape_dhw) -> bool:
@@ -421,9 +433,12 @@ class SupercellLinearSampler:
         hx = hat(x0 - 2 * ax[:, None], x - x0)
         hy = hat(y0 - 2 * ay[:, None], y - y0)
         hz = hat(z0 - 2 * az[:, None], z - z0)
-        u = jnp.einsum("nzyx,nvx->nvzy", g, hx)
-        u = jnp.einsum("nvzy,nvy->nvz", u, hy)
-        u = jnp.einsum("nvz,nvz->nv", u, hz)
+        # unrolled slice-FMA contractions (see _extract_corners note)
+        u = sum(
+            g[:, None, :, :, i] * hx[:, :, None, None, i] for i in range(_SC_L)
+        )  # (N, v8, z6, y6)
+        u = sum(u[:, :, :, i] * hy[:, :, None, i] for i in range(_SC_L))
+        u = sum(u[:, :, i] * hz[:, :, i] for i in range(_SC_L))  # (N, v8)
         return _unblockify(u * valid.astype(u.dtype), out_shape)
 
 
