@@ -155,6 +155,49 @@ def main() -> int:
         infer_metric += "_xla_fallback"
     emit(infer_metric, vps, "volumes/sec")
 
+    # ---- on-chip numerics gate #2: supercell warp vs corner-cell warp ----
+    # (the train step's augmentation routes through the supercell sampler;
+    # same honesty rule as the conv gate — no timing a wrong pipeline)
+    from unet_studio_tpu.ops.resample import (
+        affine_matrix,
+        apply_affine,
+        meshgrid_xyz,
+        sample_warp_image_label,
+        sample_warp_image_label_supercell,
+    )
+
+    wrng = np.random.default_rng(7)
+    wimg = jnp.asarray(wrng.random((192, 224, 192), np.float32))
+    wlab = jnp.asarray((wrng.random((192, 224, 192)) * 4).astype(np.float32) // 1)
+    wm = affine_matrix(
+        rotation=(0.1, 0.15, -0.1),
+        scaling=(1.1, 0.95, 1.05),
+        translation=(3.0, -2.0, 1.0),
+        shape_dhw=(192, 224, 192),
+    )
+    wcoords = apply_affine(meshgrid_xyz((192, 224, 192)), wm)
+    try:
+        si, sl = jax.jit(sample_warp_image_label_supercell)(wimg, wlab, wcoords)
+        bi, bl = jax.jit(sample_warp_image_label)(wimg, wlab, wcoords)
+        img_err = float(jnp.max(jnp.abs(si - bi)))
+        lab_match = float(jnp.mean(sl == bl))
+        emit("supercell_warp_max_abs_err_vs_corner_cell", img_err, "value")
+        if img_err > 1e-3 or lab_match < 0.999:
+            print(
+                f"WARP PARITY FAILURE: img err {img_err:.5f}, label match "
+                f"{lab_match:.5f} — disabling the supercell route",
+                file=sys.stderr,
+            )
+            os.environ["UNET_TPU_NO_SUPERCELL"] = "1"
+    except Exception as e:  # noqa: BLE001
+        print(
+            f"supercell warp failed to run ({type(e).__name__}: {e}); "
+            "disabling the supercell route",
+            file=sys.stderr,
+        )
+        os.environ["UNET_TPU_NO_SUPERCELL"] = "1"
+    del wimg, wlab, wcoords
+
     # ---- one-template training throughput (items/sec/chip) ---------------
     from unet_studio_tpu.engine.optimizer import init_opt_state
     from unet_studio_tpu.engine.train import TrainParam, build_train_step
@@ -200,6 +243,8 @@ def main() -> int:
         return n_steps * B / (time.perf_counter() - t0)
 
     train_metric = "train_items_per_sec_per_chip"
+    if os.environ.get("UNET_TPU_NO_SUPERCELL"):
+        train_metric += "_supercell_off"
     train_fallback = not packed_ok
     if train_fallback:
         ips = time_train_step()
