@@ -251,9 +251,15 @@ def test_supercell_gate_on_option_bounds(monkeypatch):
     assert not _supercell_warp_ok(AugOptions(scaling_down=0.4), shape)
     assert not _supercell_warp_ok(AugOptions(lens_distortion=0.4), shape)
     assert not _supercell_warp_ok(AugOptions(aspect_ratio=2.0), shape)
-    # single-axis rotations are norm-preserving — row-sums stay small, so
-    # even a large angle keeps the supercell window valid
+    # a single-axis rotation's |R| row-sum peaks at sqrt(2) (45 deg) —
+    # within the window even for large angles...
     assert _supercell_warp_ok(AugOptions(rotation_x=1.5), shape)
+    # ...but two axes compound toward sqrt(3); the gate scans an angle
+    # GRID (row-sums are non-monotone in angle, peaking near pi/4), so
+    # interior maxima are caught even when the range corners look benign
+    assert not _supercell_warp_ok(
+        AugOptions(rotation_x=1.5, rotation_y=1.5), shape
+    )
     assert not _supercell_warp_ok(
         AugOptions(rotation_x=2.0, rotation_y=2.0, rotation_z=2.0), shape
     )

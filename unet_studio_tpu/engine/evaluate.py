@@ -129,7 +129,9 @@ class EvaluateEngine:
         self.lookahead = lookahead
         self.error_msg = ""
         self._infer_cache: dict = {}
-        self._dev_params = None  # device-resident (params, state), lazy
+        # device-resident (params-id, params, state); re-uploaded when the
+        # model's params object is swapped (e.g. channel surgery)
+        self._dev_params = None
 
     # -- stage 1: read + preprocess -----------------------------------------
 
@@ -243,12 +245,14 @@ class EvaluateEngine:
         if case.error_msg or not case.model_io:
             return case
         run = self._infer_fn(tuple(case.image_dim), case.image_vs)
-        if self._dev_params is None:
+        key = id(self.model.params)
+        if self._dev_params is None or self._dev_params[0] != key:
             self._dev_params = (
+                key,
                 jax.device_put(self.model.params),
                 jax.device_put(self.model.state),
             )
-        params, state = self._dev_params
+        _, params, state = self._dev_params
         labels, probs, fgs = [], [], []
         for chunk in case.model_io:
             label, prob, fg = run(params, state, jnp.asarray(chunk))

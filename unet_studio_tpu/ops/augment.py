@@ -189,12 +189,16 @@ def _supercell_warp_ok(opt: AugOptions, shape_dhw) -> bool:
         rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
         return rx @ ry @ rz
 
+    # |R| row-sums are NON-monotone in the angles (each peaks near pi/4),
+    # so scan a grid over the draw range rather than just its corners
+    def axis_grid(m):
+        return np.unique(np.concatenate([np.linspace(-m, m, 9), [0.0]]))
+
     rs = max(
-        np.max(np.sum(np.abs(rot(i * opt.rotation_x, j * opt.rotation_y,
-                                 k * opt.rotation_z)), axis=1))
-        for i in (-1, 1)
-        for j in (-1, 1)
-        for k in (-1, 1)
+        np.max(np.sum(np.abs(rot(a, b, c)), axis=1))
+        for a in axis_grid(opt.rotation_x)
+        for b in axis_grid(opt.rotation_y)
+        for c in axis_grid(opt.rotation_z)
     )
     return (
         s_max * float(rs) <= 2.6
@@ -460,7 +464,11 @@ def visual_perception_augmentation(
         ch0, out_label = warp_fn(image[..., 0], label, coords)
         if image.shape[-1] == 1:
             out_image = ch0[..., None]
-        elif use_sc_warp:
+        elif use_sc_warp and image.shape[-1] <= 2:
+            # each extra channel needs its own 27x-volume window table
+            # (~890 MB at the flagship grid), so cap the supercell route
+            # at one extra channel; wider inputs keep the 8x-volume
+            # corner-cell gather to bound transient HBM
             rest = jnp.stack(
                 [
                     SupercellLinearSampler(image[..., c]).sample(coords)
@@ -516,9 +524,22 @@ def visual_perception_augmentation(
                 image.shape[-1] == 1
                 and not os.environ.get("UNET_TPU_NO_SUPERCELL")
                 and supercell_warp_shape_ok(shape_dhw)
-                and all(s % 2 == 0 for s in half)
+                and supercell_warp_shape_ok(half)
             )
-            sampler = SupercellLinearSampler(masked[..., 0]) if use_sc else None
+            if use_sc:
+                # sample from a 2x-mean-pooled source in HALF-RES voxel
+                # units: the half-res output grid strides 2 source voxels
+                # per step, which would double the per-block spread past
+                # the supercell window; in half-res units the Jacobian is
+                # back to the stamp affine's own scale (<= ~2.2).  Mip-
+                # consistent with the half-res stamp rendering (documented
+                # deviation); the table is 1/8 the full-res one.
+                mhalf = masked[..., 0].reshape(
+                    d // 2, 2, h // 2, 2, w // 2, 2
+                ).mean(axis=(1, 3, 5))
+                sampler = SupercellLinearSampler(mhalf)
+            else:
+                sampler = None
             out = img
             for it in range(5):
                 ks = jax.random.split(jax.random.fold_in(k_args, it), 4)
@@ -535,7 +556,7 @@ def visual_perception_augmentation(
                 )
                 coords = grid_half @ m34[:, :3].T + m34[:, 3]
                 if use_sc:
-                    bg = sampler.sample(coords)[..., None]
+                    bg = sampler.sample(coords * 0.5)[..., None]
                 else:
                     bg = sample_linear(masked, coords)
                 bg = jnp.maximum(bg, 0.0)

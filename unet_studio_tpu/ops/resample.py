@@ -256,8 +256,13 @@ _SC_S = 2  # anchor stride == output block edge
 def _supercell_table(vol: jnp.ndarray):
     """(D,H,W) -> ((Az*Ay*Ax, 216) table, (Az,Ay,Ax)): row a holds the
     6x6x6 source window anchored at (2az, 2ay, 2ax), edge-clamped, minor
-    order (iz, iy, ix).  Built with 18 strided slices (3 stacked passes),
-    ~2x the volume in sequential HBM writes."""
+    order (iz, iy, ix).
+
+    MEMORY: the table is 216/8 = 27x the volume (~890 MB f32 at the
+    flagship 192x224x192 grid) and the three stacked passes write
+    ~3x + 9x + 27x the volume sequentially — it is the dominant HBM
+    term of the supercell design.  Callers must bound how many tables
+    are live at once (see augment.py's one-extra-channel cap)."""
     d, h, w = vol.shape
     az, ay, ax = d // 2, h // 2, w // 2
     p = _SC_L - _SC_S  # window may reach index s*(A-1)+L-1 = dim+3
