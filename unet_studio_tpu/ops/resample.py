@@ -324,6 +324,40 @@ def supercell_warp_shape_ok(shape_dhw) -> bool:
     return all(int(s) % 2 == 0 and int(s) >= _SC_L for s in shape_dhw)
 
 
+def _supercell_geometry(coords: jnp.ndarray, shape_dhw, anchors):
+    """Shared blockified sample geometry against a supercell table.
+
+    coords (D,H,W,3) -> (row_idx (N,), offsets (oz,oy,ox) each (N,8)
+    clipped into the window, fracs (fz,fy,fx) each (N,8), valid (N,8)).
+    The anchor choice is the largest even base <= min(floor) whose
+    window still covers max(floor)+1, mid-balanced when both constraints
+    allow slack, clipped into the anchor grid."""
+    d, h, w = shape_dhw
+    az_n, ay_n, ax_n = anchors
+    cb = _blockify(coords)  # (N, 8, 3)
+    x, y, z = cb[..., 0], cb[..., 1], cb[..., 2]
+    valid = (
+        (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1) & (z >= 0) & (z <= d - 1)
+    )
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+
+    def anchor(f0, n):
+        mn = jnp.min(f0, axis=1)
+        mx = jnp.max(f0, axis=1)
+        return jnp.clip((mn + mx - 2) // 4, 0, n - 1)
+
+    az = anchor(z0, az_n)
+    ay = anchor(y0, ay_n)
+    ax = anchor(x0, ax_n)
+    row_idx = (az * ay_n + ay) * ax_n + ax
+    oz = jnp.clip(z0 - 2 * az[:, None], 0, _SC_L - 2)
+    oy = jnp.clip(y0 - 2 * ay[:, None], 0, _SC_L - 2)
+    ox = jnp.clip(x0 - 2 * ax[:, None], 0, _SC_L - 2)
+    return row_idx, (oz, oy, ox), (z - z0, y - y0, x - x0), valid
+
+
 def sample_warp_image_label_supercell(
     image0: jnp.ndarray, label: jnp.ndarray, coords: jnp.ndarray
 ):
@@ -349,34 +383,12 @@ def sample_warp_image_label_supercell(
     """
     d, h, w = label.shape
     packed, peak = _pack_image_label(image0, label)
-    table, (az_n, ay_n, ax_n) = _supercell_table(packed)
+    table, anchors = _supercell_table(packed)
 
-    cb = _blockify(coords)  # (N, 8, 3)
-    x, y, z = cb[..., 0], cb[..., 1], cb[..., 2]
-    valid = (
-        (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1) & (z >= 0) & (z <= d - 1)
+    row_idx, (oz, oy, ox), (fz, fy, fx), valid = _supercell_geometry(
+        coords, (d, h, w), anchors
     )
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    z0 = jnp.floor(z).astype(jnp.int32)
-    fx, fy, fz = x - x0, y - y0, z - z0
-
-    def anchor(f0, n):
-        mn = jnp.min(f0, axis=1)
-        mx = jnp.max(f0, axis=1)
-        # largest even base <= mn with base+5 >= mx+1, mid-balanced when
-        # both constraints allow slack; clipped into the anchor grid
-        return jnp.clip((mn + mx - 2) // 4, 0, n - 1)
-
-    az = anchor(z0, az_n)
-    ay = anchor(y0, ay_n)
-    ax = anchor(x0, ax_n)
-    rows = table[(az * ay_n + ay) * ax_n + ax]  # (N, 216)
-    g = rows.reshape(-1, _SC_L, _SC_L, _SC_L)
-
-    oz = jnp.clip(z0 - 2 * az[:, None], 0, _SC_L - 2)
-    oy = jnp.clip(y0 - 2 * ay[:, None], 0, _SC_L - 2)
-    ox = jnp.clip(x0 - 2 * ax[:, None], 0, _SC_L - 2)
+    g = table[row_idx].reshape(-1, _SC_L, _SC_L, _SC_L)
     nbr = _extract_corners(g, oz, oy, ox)  # (N, 8, 8)
 
     img, lab = _combine_packed_corners(nbr, fx, fy, fz, valid, peak)
@@ -403,41 +415,22 @@ class SupercellLinearSampler:
     def sample(self, coords: jnp.ndarray) -> jnp.ndarray:
         """coords: (Do,Ho,Wo,3) (x,y,z) positions in the table volume's
         voxel space; Do/Ho/Wo even.  Returns (Do,Ho,Wo)."""
-        d, h, w = self.shape
-        az_n, ay_n, ax_n = self.anchors
         out_shape = coords.shape[:3]
-        cb = _blockify(coords)  # (N, 8, 3)
-        x, y, z = cb[..., 0], cb[..., 1], cb[..., 2]
-        valid = (
-            (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
-            & (z >= 0) & (z <= d - 1)
+        row_idx, (oz, oy, ox), (fz, fy, fx), valid = _supercell_geometry(
+            coords, self.shape, self.anchors
         )
-        x0 = jnp.floor(x).astype(jnp.int32)
-        y0 = jnp.floor(y).astype(jnp.int32)
-        z0 = jnp.floor(z).astype(jnp.int32)
-
-        def anchor(f0, n):
-            mn = jnp.min(f0, axis=1)
-            mx = jnp.max(f0, axis=1)
-            return jnp.clip((mn + mx - 2) // 4, 0, n - 1)
-
-        az = anchor(z0, az_n)
-        ay = anchor(y0, ay_n)
-        ax = anchor(x0, ax_n)
-        rows = self.table[(az * ay_n + ay) * ax_n + ax]
-        g = rows.reshape(-1, _SC_L, _SC_L, _SC_L)
+        g = self.table[row_idx].reshape(-1, _SC_L, _SC_L, _SC_L)
 
         i6 = jnp.arange(_SC_L, dtype=jnp.int32)
 
         def hat(o, f):
-            o = jnp.clip(o, 0, _SC_L - 2)
             lo = (i6[None, None, :] == o[:, :, None]).astype(jnp.float32)
             hi = (i6[None, None, :] == o[:, :, None] + 1).astype(jnp.float32)
             return lo * (1.0 - f)[..., None] + hi * f[..., None]
 
-        hx = hat(x0 - 2 * ax[:, None], x - x0)
-        hy = hat(y0 - 2 * ay[:, None], y - y0)
-        hz = hat(z0 - 2 * az[:, None], z - z0)
+        hx = hat(ox, fx)
+        hy = hat(oy, fy)
+        hz = hat(oz, fz)
         # unrolled slice-FMA contractions (see _extract_corners note)
         u = sum(
             g[:, None, :, :, i] * hx[:, :, None, None, i] for i in range(_SC_L)
