@@ -540,6 +540,18 @@ def model_grid_transform(
     where shift centers the two FOVs in x/y and t is the affine_param
     translation (only t_z used, computed in mm).
     """
+    if fov_strategy not in ("", "align_top"):
+        # the align_top math below is the only strategy the reference's
+        # own training reader implements (train.cpp:26-29); other values
+        # live inside the external TIPL library whose behavior this
+        # snapshot does not define — warn rather than silently misalign
+        import warnings
+
+        warnings.warn(
+            f"fov_strategy {fov_strategy!r} is not implemented; "
+            "using align_top",
+            stacklevel=2,
+        )
     image_vs = np.asarray(image_vs, np.float64)
     model_vs = np.asarray(model_vs, np.float64)
     img = np.asarray(image_shape_xyz, np.float64)
