@@ -1,9 +1,16 @@
-"""On-chip timing: supercell warp vs corner-cell warp, sim, train step.
+"""On-chip timing: supercell warp vs corner-cell warp, sim, full aug.
 
-Run on the TPU (axon) backend. Times via in-jit loops + one D2H sync
-(slope method not needed at 10+ iters).
+Run on the TPU (axon) backend from /root/repo (no PYTHONPATH override —
+that clobbers the axon sitecustomize path).
+
+HARNESS RULE: the loop body MUST depend on the carried accumulator —
+XLA's while-loop LICM hoists loop-invariant bodies out of fori_loop, so a
+body with constant args times ~1 iteration split across N (this bit us:
+17.9 "ms" for a 142 ms warp).  Every input below is perturbed by
+acc * 1e-30 so the chain is real but numerically inert.
 """
-import time
+import sys, time
+sys.path.insert(0, "/root/repo")
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,11 +32,14 @@ m = affine_matrix(rotation=(0.1, 0.15, -0.1), scaling=(1.1, 0.95, 1.05),
 coords = apply_affine(grid + 1.5 * jnp.sin(grid * 0.05), m)
 
 
-def timeloop(fn, *args, iters=10):
+def timeloop(fn, *args, iters=10, perturb=0):
+    """args[perturb] gets + acc*1e-30 each iteration (defeats LICM)."""
     @jax.jit
     def loop(*a):
         def body(i, acc):
-            o = fn(*a)
+            aa = list(a)
+            aa[perturb] = aa[perturb] + (acc * 1e-30).astype(aa[perturb].dtype)
+            o = fn(*aa)
             first = jax.tree.leaves(o)[0]
             return acc + jnp.asarray(first, jnp.float32).ravel()[0]
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
@@ -39,9 +49,10 @@ def timeloop(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
-t_cc = timeloop(sample_warp_image_label, img, lab, coords)
+t_cc = timeloop(sample_warp_image_label, img, lab, coords, perturb=2)
 print(f"corner-cell warp: {t_cc:8.2f} ms", flush=True)
-t_sc = timeloop(sample_warp_image_label_supercell, img, lab, coords)
+t_sc = timeloop(sample_warp_image_label_supercell, img, lab, coords,
+                perturb=2)
 print(f"supercell warp:   {t_sc:8.2f} ms  ({t_cc/t_sc:.2f}x)", flush=True)
 
 t_sim = timeloop(lambda a, b, k: simulate_modality_template(a, b, 4, k),
@@ -54,28 +65,7 @@ opts = AugOptions()
 t_aug = timeloop(
     lambda a, b, k: visual_perception_augmentation(a, b, k, opts, True),
     img[..., None], lab, jax.random.key(1))
-print(f"full aug:         {t_aug:8.2f} ms", flush=True)
-
-# --- extraction variant A/B: default unrolled slice-FMA vs einsum --------
-from unet_studio_tpu.ops import resample as rs
-
-def _extract_corners_einsum(g, oz, oy, ox):
-    """dot_general formulation (batched tiny matmuls) for comparison."""
-    i6 = jnp.arange(6, dtype=jnp.int32)
-    t2 = jnp.arange(2, dtype=jnp.int32)
-    def onehot(o):
-        return (i6[None, None, None, :] ==
-                o[:, :, None, None] + t2[None, None, :, None]).astype(g.dtype)
-    u = jnp.einsum("nzyx,nvax->nvazy", g, onehot(ox))
-    u = jnp.einsum("nvazy,nvby->nvabz", u, onehot(oy))
-    u = jnp.einsum("nvabz,nvcz->nvcba", u, onehot(oz))
-    return u.reshape(g.shape[0], 8, 8)
-
-orig_extract = rs._extract_corners
-rs._extract_corners = _extract_corners_einsum
-t_sc2 = timeloop(rs.sample_warp_image_label_supercell, img, lab, coords)
-print(f"supercell (einsum extract): {t_sc2:8.2f} ms", flush=True)
-rs._extract_corners = orig_extract
+print(f"full aug (supercell on): {t_aug:8.2f} ms", flush=True)
 
 import os
 os.environ["UNET_TPU_NO_SUPERCELL"] = "1"
