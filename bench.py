@@ -5,11 +5,16 @@ Runs on whatever accelerator jax sees (the driver provides one real TPU
 chip).  Prints one JSON line per metric:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N|null}
 
-Metrics (the two BASELINE.json judged axes):
-  * t1w_volumes_per_sec_skullstrip_infer_192x224x192 — jitted forward +
-    softmax/argmax postproc
+Judged metrics (the two BASELINE.json axes):
+  * t1w_volumes_per_sec_skullstrip_infer_192x224x192 — the REAL evaluate
+    engine graph (fov_pre resample -> forward -> fov_post resample ->
+    softmax/argmax postproc) on a 182x218x182 @1mm native T1w grid
+    (evaluate.cpp:211-246 analog), not a bare forward.
   * train_items_per_sec_per_chip — contrast sim + full visual-perception
     augmentation + fwd/bwd + SGD step, all on device (train.cpp hot loop)
+
+Secondary metrics: packed-forward latency, MFU and HBM-roofline fractions
+(absolute utilization, from the analytic model in utils/flops.py).
 
 HONESTY RULES (round-2 verdict items 2 and 6):
   * Before ANY packed-path number is timed, the packed forward is compared
@@ -20,6 +25,18 @@ HONESTY RULES (round-2 verdict items 2 and 6):
     reported under a DISTINCT ``*_xla_fallback`` metric name so the
     driver's history can never read "flagship path broken" as "flat".
 
+RESILIENCE RULES (round-3 verdict item 1 — BENCH_r03 died rc=1 on ONE
+unretried transient tunnel error before any metric was emitted):
+  * Model init is host-side numpy; no device work happens before the
+    first metric line is printed.
+  * Every device stage runs under bounded retries with backoff on
+    transient backend errors (axon remote_compile/tunnel hiccups),
+    within an overall wall-clock deadline (UNET_BENCH_DEADLINE_S,
+    default 2400 s).
+  * Metrics are emitted incrementally per stage; a stage failure is
+    reported and later stages still run, so a partial outage still
+    records everything measurable.
+
 The reference publishes no numbers (BASELINE.md), so vs_baseline is null;
 the driver's BENCH_r{N}.json history is the comparison across rounds.
 """
@@ -27,10 +44,29 @@ the driver's BENCH_r{N}.json history is the comparison across rounds.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_START = time.monotonic()
+_DEADLINE_S = float(os.environ.get("UNET_BENCH_DEADLINE_S", "2400"))
+
+_TRANSIENT_MARKERS = (
+    "remote_compile",
+    "response body",
+    "read body",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "INTERNAL",
+    "Connection",
+    "connection",
+    "socket",
+    "tunnel",
+    "RESOURCE_EXHAUSTED",
+    "ABORTED",
+)
 
 
 def emit(metric: str, value: float, unit: str) -> None:
@@ -47,9 +83,37 @@ def emit(metric: str, value: float, unit: str) -> None:
     )
 
 
-def main() -> int:
-    import os
+def log(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _START:.0f}s] {msg}", file=sys.stderr, flush=True)
 
+
+def _is_transient(e: Exception) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return any(m in s for m in _TRANSIENT_MARKERS)
+
+
+def retry(name: str, fn, tries: int = 5, sleeps=(15, 30, 60, 120)):
+    """Run fn with bounded retries on transient backend errors, inside the
+    overall wall-clock deadline.  Non-transient errors propagate at once
+    (they are code bugs; retrying would just repeat them)."""
+    for attempt in range(tries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            remaining = _DEADLINE_S - (time.monotonic() - _START)
+            if not _is_transient(e) or attempt + 1 == tries or remaining < 30:
+                raise
+            wait = min(sleeps[min(attempt, len(sleeps) - 1)], max(remaining - 30, 1))
+            log(
+                f"{name}: transient backend failure "
+                f"(attempt {attempt + 1}/{tries}: {type(e).__name__}: "
+                f"{str(e)[:200]}); retrying in {wait:.0f}s"
+            )
+            time.sleep(wait)
+    raise RuntimeError("unreachable")
+
+
+def main() -> int:
     import jax
     import jax.numpy as jnp
 
@@ -69,14 +133,34 @@ def main() -> int:
         no_pallas_conv,
         set_pallas_conv_enabled,
     )
+    from unet_studio_tpu.utils.flops import chip_peaks, forward_cost, train_step_flops
 
-    # flagship: default 6-level U-Net, default 192x224x192 grid, 4 classes
+    # flagship: default 6-level U-Net, default 192x224x192 grid, 4 classes.
+    # Init is HOST-SIDE numpy — zero device traffic before the first metric.
     model = UNet3d.create(1, 4, default_architecture(4), seed=0)
     spec = model.spec
-    params = {k: jnp.asarray(v) for k, v in model.params.items()}
+    model_dhw = model.dim_dhw
+
+    # static metrics first: recorded even if the device is unreachable
+    fwd_flops, fwd_bytes = forward_cost(spec, model_dhw, bytes_per_el=2)
+    emit("flagship_forward_tflops", fwd_flops / 1e12, "TFLOP")
+
+    peaks = None
+    try:
+        kind = retry("device probe", lambda: jax.devices()[0].device_kind)
+        log(f"device: {kind}")
+        peaks = chip_peaks(kind)
+    except Exception as e:  # noqa: BLE001
+        log(f"device probe failed ({type(e).__name__}: {e}); MFU lines skipped")
+
+    np_params = model.params
+    params = retry(
+        "param upload",
+        lambda: {k: jax.device_put(jnp.asarray(v)) for k, v in np_params.items()},
+    )
 
     x = jnp.asarray(
-        np.random.default_rng(0).random((1, 192, 224, 192, 1), np.float32),
+        np.random.default_rng(0).random((1, *model_dhw, 1), np.float32),
         jnp.bfloat16,
     )
 
@@ -98,62 +182,108 @@ def main() -> int:
 
     packed_ok = True
     try:
-        yp = fwd_packed(params, x)
-        yr = fwd_xla(params, x)
-        ref_mag = float(jnp.max(jnp.abs(yr)))
-        err = float(jnp.max(jnp.abs(yp - yr)))
-        rel = err / max(ref_mag, 1e-6)
+        def parity_gate():
+            yp = fwd_packed(params, x)
+            yr = fwd_xla(params, x)
+            ref_mag = float(jnp.max(jnp.abs(yr)))
+            err = float(jnp.max(jnp.abs(yp - yr)))
+            return err / max(ref_mag, 1e-6)
+
+        rel = retry("conv parity gate", parity_gate)
         emit("packed_forward_max_rel_err_vs_xla", rel, "ratio")
         if rel > 0.05:
-            print(
-                f"PARITY FAILURE: packed forward rel err {rel:.4f} "
-                f"(abs {err:.4f} on magnitude {ref_mag:.4f}) — "
-                "falling back to the XLA path",
-                file=sys.stderr,
-            )
+            log(f"PARITY FAILURE: packed forward rel err {rel:.4f} — XLA fallback")
             packed_ok = False
     except Exception as e:  # noqa: BLE001
-        print(
-            f"packed forward failed to run ({type(e).__name__}: {e}); "
-            "falling back to the XLA path",
-            file=sys.stderr,
-        )
+        log(f"packed forward failed ({type(e).__name__}: {e}); XLA fallback")
         packed_ok = False
 
     if not packed_ok:
         set_pallas_conv_enabled(False)
 
-    @jax.jit
-    def infer(params, x):
-        outs, _ = forward(spec, params, x, train=False, compute_dtype=jnp.bfloat16)
-        prob = jax.nn.softmax(jnp.asarray(outs[0], jnp.float32), axis=-1)
-        fg = 1.0 - prob[..., 0]
-        label = jnp.where(fg > 0.5, jnp.argmax(prob, axis=-1).astype(jnp.int32), 0)
-        return label, fg
+    # ---- judged axis 1: the evaluate-engine graph on a native T1w grid ----
+    # (round-3 verdict item 3: time the product path, not a bare forward)
+    from unet_studio_tpu.engine.evaluate import make_infer_graph
+
+    image_dhw = (182, 218, 182)  # MNI152-sized 1mm T1w
+    image_vs = np.array([1.0, 1.0, 1.0], np.float32)
+    run_graph = make_infer_graph(model, image_dhw, image_vs, jnp.bfloat16)
+    state: dict = {}
+    native = jnp.asarray(
+        np.random.default_rng(2).random((*image_dhw, 1), np.float32)
+    )
+    n_iters = 30
 
     # time k inferences inside ONE jitted loop: on remote-execution
     # backends block_until_ready is unreliable and per-call dispatch adds
     # tens of ms, so the loop runs on device and we sync once via a D2H
-    # fetch of a scalar that depends on every iteration.
-    n_iters = 30
-
+    # fetch of a scalar that depends on every iteration's outputs.
     @jax.jit
-    def timed_loop(params, x):
+    def infer_loop(params, chunk):
         def body(i, acc):
-            label, fg = infer(params, x + acc.astype(x.dtype))
-            return acc + fg.ravel()[0]
-        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
+            label, prob, fg = run_graph(
+                params, state, chunk + acc.astype(chunk.dtype)
+            )
+            return (
+                acc
+                + jnp.float32(fg.ravel()[0])
+                + jnp.float32(label.ravel()[0])
+                + prob.ravel()[0] * 0.0
+            )
 
-    _ = float(timed_loop(params, x))  # compile + warm
-    t0 = time.perf_counter()
-    _ = float(timed_loop(params, x))  # device-bound, one sync
-    dt = time.perf_counter() - t0
-    vps = n_iters / dt
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
 
     infer_metric = "t1w_volumes_per_sec_skullstrip_infer_192x224x192"
     if not packed_ok:
         infer_metric += "_xla_fallback"
-    emit(infer_metric, vps, "volumes/sec")
+    infer_ms = None
+    try:
+        def time_infer():
+            _ = float(infer_loop(params, native))  # compile + warm
+            t0 = time.perf_counter()
+            _ = float(infer_loop(params, native))  # device-bound, one sync
+            return (time.perf_counter() - t0) / n_iters
+
+        per_vol = retry("evaluate-graph timing", time_infer)
+        infer_ms = per_vol * 1e3
+        emit(infer_metric, 1.0 / per_vol, "volumes/sec")
+    except Exception as e:  # noqa: BLE001
+        log(f"evaluate-graph stage FAILED ({type(e).__name__}: {e})")
+
+    # ---- secondary: bare packed forward latency + absolute utilization ----
+    @jax.jit
+    def fwd_loop(params, x):
+        def body(i, acc):
+            outs, _ = forward(
+                spec, params, x + acc.astype(x.dtype), train=False,
+                compute_dtype=jnp.bfloat16,
+            )
+            return acc + jnp.asarray(outs[0], jnp.float32).ravel()[0]
+
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
+
+    fwd_ms = None
+    try:
+        def time_fwd():
+            _ = float(fwd_loop(params, x))
+            t0 = time.perf_counter()
+            _ = float(fwd_loop(params, x))
+            return (time.perf_counter() - t0) / n_iters * 1e3
+
+        fwd_ms = retry("bare forward timing", time_fwd)
+        name = "packed_forward_ms" if packed_ok else "xla_forward_ms"
+        emit(name, fwd_ms, "ms")
+        if peaks:
+            emit("mfu_forward_pct", 100.0 * fwd_flops / (fwd_ms * 1e-3) / peaks[0], "%")
+            emit(
+                "hbm_roofline_forward_pct",
+                100.0 * fwd_bytes / (fwd_ms * 1e-3) / peaks[1],
+                "%",
+            )
+        if infer_ms is not None:
+            emit("infer_graph_overhead_ms", infer_ms - fwd_ms, "ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"bare-forward stage failed ({type(e).__name__}: {e})")
 
     # ---- on-chip numerics gate #2: supercell warp vs corner-cell warp ----
     # (the train step's augmentation routes through the supercell sampler;
@@ -167,43 +297,43 @@ def main() -> int:
     )
 
     wrng = np.random.default_rng(7)
-    wimg = jnp.asarray(wrng.random((192, 224, 192), np.float32))
-    wlab = jnp.asarray((wrng.random((192, 224, 192)) * 4).astype(np.float32) // 1)
+    wimg = jnp.asarray(wrng.random(model_dhw, np.float32))
+    wlab = jnp.asarray((wrng.random(model_dhw) * 4).astype(np.float32) // 1)
     wm = affine_matrix(
         rotation=(0.1, 0.15, -0.1),
         scaling=(1.1, 0.95, 1.05),
         translation=(3.0, -2.0, 1.0),
-        shape_dhw=(192, 224, 192),
+        shape_dhw=model_dhw,
     )
-    wcoords = apply_affine(meshgrid_xyz((192, 224, 192)), wm)
+    wcoords = apply_affine(meshgrid_xyz(model_dhw), wm)
     try:
-        si, sl = jax.jit(sample_warp_image_label_supercell)(wimg, wlab, wcoords)
-        bi, bl = jax.jit(sample_warp_image_label)(wimg, wlab, wcoords)
-        img_err = float(jnp.max(jnp.abs(si - bi)))
-        lab_match = float(jnp.mean(sl == bl))
+        def warp_gate():
+            si, sl = jax.jit(sample_warp_image_label_supercell)(wimg, wlab, wcoords)
+            bi, bl = jax.jit(sample_warp_image_label)(wimg, wlab, wcoords)
+            return float(jnp.max(jnp.abs(si - bi))), float(jnp.mean(sl == bl))
+
+        img_err, lab_match = retry("supercell warp gate", warp_gate)
         emit("supercell_warp_max_abs_err_vs_corner_cell", img_err, "value")
         if img_err > 1e-3 or lab_match < 0.999:
-            print(
+            log(
                 f"WARP PARITY FAILURE: img err {img_err:.5f}, label match "
-                f"{lab_match:.5f} — disabling the supercell route",
-                file=sys.stderr,
+                f"{lab_match:.5f} — disabling the supercell route"
             )
             os.environ["UNET_TPU_NO_SUPERCELL"] = "1"
     except Exception as e:  # noqa: BLE001
-        print(
-            f"supercell warp failed to run ({type(e).__name__}: {e}); "
-            "disabling the supercell route",
-            file=sys.stderr,
+        log(
+            f"supercell warp gate failed ({type(e).__name__}: {e}); "
+            "disabling the supercell route"
         )
         os.environ["UNET_TPU_NO_SUPERCELL"] = "1"
     del wimg, wlab, wcoords
 
-    # ---- one-template training throughput (items/sec/chip) ---------------
+    # ---- judged axis 2: one-template training throughput ------------------
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from unet_studio_tpu.engine.optimizer import init_opt_state
     from unet_studio_tpu.engine.train import TrainParam, build_train_step
     from unet_studio_tpu.parallel.mesh import make_mesh
-
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     B = 4  # accumulated via lax.scan; per-item cost is batch-invariant
     mesh = make_mesh(n_data=1)
@@ -214,60 +344,85 @@ def main() -> int:
     # inputs would re-upload ~270 MB per call over the dev tunnel
     rep = NamedSharding(mesh, P())
     sh = NamedSharding(mesh, P("data"))
-    params = jax.device_put(params, rep)
-    opt_state = jax.device_put(init_opt_state(params), rep)
-    img = jax.device_put(
-        np.clip(rng.random((B, 192, 224, 192, 1), np.float32), 0, 1), sh
-    )
-    lab = jax.device_put(
-        rng.integers(0, 4, (B, 192, 224, 192)).astype(np.float32), sh
-    )
-    tmpl = jax.device_put(np.ones(B, bool), sh)
-    shift = jax.device_put(np.zeros(B, bool), sh)
-    keys = jax.device_put(jax.random.split(jax.random.key(0), B), sh)
+
+    def stage_train_inputs():
+        return (
+            jax.device_put(params, rep),
+            jax.device_put(init_opt_state(params), rep),
+            jax.device_put(
+                np.clip(rng.random((B, *model_dhw, 1), np.float32), 0, 1), sh
+            ),
+            jax.device_put(
+                rng.integers(0, 4, (B, *model_dhw)).astype(np.float32), sh
+            ),
+            jax.device_put(np.ones(B, bool), sh),
+            jax.device_put(np.zeros(B, bool), sh),
+            jax.device_put(jax.random.split(jax.random.key(0), B), sh),
+        )
+
     lr = 1e-3
 
     def time_train_step():
+        tp, opt_state, img, lab, tmpl, shift, keys = retry(
+            "train input staging", stage_train_inputs
+        )
         step_fn, _ = build_train_step(model, tparam, mesh)
-        p, o, m = step_fn(params, opt_state, img, lab, tmpl, shift, keys, lr)
-        _ = np.asarray(m)  # compile + warm, sync via D2H
-        p, o, m = step_fn(p, o, img, lab, tmpl, shift, keys, lr)
-        _ = np.asarray(m)  # second warmup: first call with committed outputs
-        # enough steps that the one D2H sync's tunnel round-trip latency
-        # (~100 ms on the dev link) is amortized out of the per-item cost
-        n_steps = 4
-        t0 = time.perf_counter()
-        for _i in range(n_steps):
+
+        def timed():
+            p, o, m = step_fn(tp, opt_state, img, lab, tmpl, shift, keys, lr)
+            _ = np.asarray(m)  # compile + warm, sync via D2H
             p, o, m = step_fn(p, o, img, lab, tmpl, shift, keys, lr)
-        _ = np.asarray(m)  # one sync; steps chain through param deps
-        return n_steps * B / (time.perf_counter() - t0)
+            _ = np.asarray(m)  # second warmup: first call w/ committed outputs
+            # enough steps that the one D2H sync's tunnel round-trip latency
+            # (~100 ms on the dev link) is amortized out of the per-item cost
+            n_steps = 4
+            t0 = time.perf_counter()
+            for _i in range(n_steps):
+                p, o, m = step_fn(p, o, img, lab, tmpl, shift, keys, lr)
+            _ = np.asarray(m)  # one sync; steps chain through param deps
+            return n_steps * B / (time.perf_counter() - t0)
+
+        return retry("train step timing", timed)
 
     train_metric = "train_items_per_sec_per_chip"
     if os.environ.get("UNET_TPU_NO_SUPERCELL"):
         train_metric += "_supercell_off"
     train_fallback = not packed_ok
-    if train_fallback:
+    ips = None
+    try:
         ips = time_train_step()
-    else:
-        try:
-            ips = time_train_step()
-        except Exception as e:  # noqa: BLE001
+    except Exception as e:  # noqa: BLE001
+        if train_fallback:
+            log(f"train stage FAILED on the XLA path ({type(e).__name__}: {e})")
+        else:
             # safety net so the driver still records a number — but under a
             # DISTINCT metric name: a broken flagship path must be visible
             # in the bench history, not disguised as "flat"
-            print(
+            log(
                 f"packed train step failed ({type(e).__name__}: {e}); "
-                "retrying on the XLA path",
-                file=sys.stderr,
+                "retrying on the XLA path"
             )
             set_pallas_conv_enabled(False)
             train_fallback = True
-            ips = time_train_step()
+            try:
+                ips = time_train_step()
+            except Exception as e2:  # noqa: BLE001
+                log(f"train stage FAILED on the XLA path too ({type(e2).__name__}: {e2})")
 
-    if train_fallback:
-        train_metric += "_xla_fallback"
-    emit(train_metric, ips, "items/sec/chip")
-    return 0
+    if ips is not None:
+        if train_fallback:
+            train_metric += "_xla_fallback"
+        emit(train_metric, ips, "items/sec/chip")
+        if peaks:
+            emit(
+                "mfu_train_step_pct",
+                100.0 * train_step_flops(spec, model_dhw) * ips / peaks[0],
+                "%",
+            )
+
+    ok = infer_ms is not None and ips is not None
+    log("bench complete" if ok else "bench INCOMPLETE (see stage failures above)")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

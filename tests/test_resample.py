@@ -177,3 +177,70 @@ def test_supercell_linear_sampler_matches_sample_linear(rng):
     ref = sample_linear(jnp.asarray(vol), coords)
     got = SupercellLinearSampler(jnp.asarray(vol)).sample(coords)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_separable_resample_matches_sample_linear(rng):
+    """The evaluate engine's separable FOV resample must EXACTLY match the
+    gather-based sampler for diagonal affines (design invariant: every
+    optimized path keeps its fallback + a parity test)."""
+    from unet_studio_tpu.ops.resample import (
+        diag_affine_matrices,
+        separable_resample,
+    )
+
+    in_dhw, out_dhw = (14, 11, 9), (10, 13, 12)
+    mat = np.zeros((3, 4), np.float32)
+    # scales cover shrink, grow, and negative offsets / out-of-range taps
+    mat[0, 0], mat[1, 1], mat[2, 2] = 0.8, 1.3, 1.05
+    mat[:, 3] = [-1.2, 0.7, 2.5]
+    for channels in (None, 3):
+        shape = in_dhw if channels is None else (*in_dhw, channels)
+        vol = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        coords = apply_affine(meshgrid_xyz(out_dhw), jnp.asarray(mat))
+        ref = sample_linear(vol, coords)
+        mz, my, mx = diag_affine_matrices(mat, in_dhw, out_dhw)
+        out = separable_resample(vol, mz, my, mx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_diag_affine_matrices_rejects_offdiagonal():
+    import pytest
+
+    from unet_studio_tpu.ops.resample import diag_affine_matrices
+
+    mat = np.eye(3, 4, dtype=np.float32)
+    mat[0, 1] = 0.1
+    with pytest.raises(ValueError):
+        diag_affine_matrices(mat, (4, 4, 4), (4, 4, 4))
+
+
+def test_make_infer_graph_separable_matches_gather(rng, monkeypatch):
+    """The end-to-end evaluate graph with the separable FOV path must match
+    the gather-based fallback (UNET_TPU_NO_SEPARABLE_FOV)."""
+    import os
+
+    from unet_studio_tpu.engine.evaluate import make_infer_graph
+    from unet_studio_tpu.models.unet3d import UNet3d
+
+    arch = "conv8,ks3,stride1+norm,leaky_relu\n" \
+           "conv16,ks3,stride2+norm,leaky_relu+conv_trans16,ks2,stride2\n" \
+           "conv8,ks3,stride1+norm,leaky_relu+conv3,ks1,stride1"
+    model = UNet3d.create(1, 3, arch, seed=0)
+    model.dim = (16, 16, 16)
+    image_dhw, image_vs = (20, 18, 22), np.array([0.9, 1.1, 1.0], np.float32)
+    chunk = jnp.asarray(rng.random((20, 18, 22, 1), np.float32))
+    params = {k: jnp.asarray(v) for k, v in model.params.items()}
+    state = {k: jnp.asarray(v) for k, v in model.state.items()}
+
+    monkeypatch.delenv("UNET_TPU_NO_SEPARABLE_FOV", raising=False)
+    run_sep = make_infer_graph(model, image_dhw, image_vs, jnp.float32)
+    monkeypatch.setenv("UNET_TPU_NO_SEPARABLE_FOV", "1")
+    run_gat = make_infer_graph(model, image_dhw, image_vs, jnp.float32)
+
+    l1, p1, f1 = jax.jit(run_sep)(params, state, chunk)
+    l2, p2, f2 = jax.jit(run_gat)(params, state, chunk)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(f1, np.float32), np.asarray(f2, np.float32), atol=1e-2
+    )
+    assert float(np.mean(np.asarray(l1) == np.asarray(l2))) > 0.9995

@@ -37,17 +37,24 @@ class TestPng:
 
 class TestServer:
     @pytest.fixture(scope="class")
-    def server_url(self):
+    def server_url(self, tmp_path_factory):
+        import os
+
         from http.server import ThreadingHTTPServer
 
         from unet_studio_tpu.ui.server import AppState, make_handler
 
+        # persisted settings go to a throwaway file, not ~/.config
+        os.environ["UNET_TPU_SETTINGS"] = str(
+            tmp_path_factory.mktemp("cfg") / "settings.json"
+        )
         state = AppState()
         srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
         t = threading.Thread(target=srv.serve_forever, daemon=True)
         t.start()
         yield f"http://127.0.0.1:{srv.server_address[1]}"
         srv.shutdown()
+        del os.environ["UNET_TPU_SETTINGS"]
 
     def test_index(self, server_url):
         html = urllib.request.urlopen(server_url + "/").read().decode()
@@ -277,3 +284,72 @@ class TestServer:
                 break
             time.sleep(0.25)
         assert any("exited with code" in ln for ln in lines)
+
+    def test_four_output_views_and_prob_channels(self, server_url):
+        """The evaluate tab's 4 output views (label overlay / skull-strip /
+        mask / per-channel probability, mainwindow_evaluation.cpp:292-352)
+        must all render; unknown views are a 500, not a silent fg view."""
+        for view in ("input", "skull_strip", "mask", "fg"):
+            png = urllib.request.urlopen(
+                server_url + f"/api/eval/slice?axis=0&index=8&view={view}"
+            ).read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n", view
+        for ch in (0, 1, 2):
+            png = urllib.request.urlopen(
+                server_url
+                + f"/api/eval/slice?axis=0&index=8&view=prob&channel={ch}"
+            ).read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n", ch
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(
+                server_url + "/api/eval/slice?axis=0&index=8&view=bogus"
+            )
+        assert exc.value.code == 500
+
+    def test_settings_persistence(self, server_url):
+        """QSettings analog: option overrides persist and are merged into
+        /api/options defaults; model loads record MRU + last network."""
+        import os
+
+        def post(path, body):
+            req = urllib.request.Request(
+                server_url + path, data=json.dumps(body).encode(), method="POST"
+            )
+            return json.loads(urllib.request.urlopen(req).read())
+
+        j = post("/api/settings", {"options": {"noise_mag": 0.35}})
+        assert j["option_overrides"]["noise_mag"] == 0.35
+        # merged into the rendered option tree
+        opts = json.loads(urllib.request.urlopen(server_url + "/api/options").read())
+        noise = next(o for o in opts["options"] if o["id"] == "noise_mag")
+        assert noise["default"] == 0.35
+        # persisted to disk
+        with open(os.environ["UNET_TPU_SETTINGS"]) as f:
+            disk = json.load(f)
+        assert disk["option_overrides"]["noise_mag"] == 0.35
+        # model load earlier in the class recorded MRU + last_network
+        st = json.loads(urllib.request.urlopen(server_url + "/api/settings").read())
+        assert st["last_network"].endswith("m.nz")
+        assert st["mru_model_dirs"] and st["mru_source_dirs"]
+        # removing an override restores the table default
+        post("/api/settings", {"options": {"noise_mag": None}})
+        opts = json.loads(urllib.request.urlopen(server_url + "/api/options").read())
+        noise = next(o for o in opts["options"] if o["id"] == "noise_mag")
+        assert noise["default"] != 0.35
+
+
+def test_chart_decimation_keeps_full_history():
+    """10000-epoch histories are decimated (first+last kept, epochs
+    reported), never truncated to the tail (mainwindow_training.cpp:405-510
+    plots everything)."""
+    from unet_studio_tpu.ui.server import AppState
+
+    errors = [float(i) for i in range(3 * 10000)]
+    flat, epochs = AppState._decimate_errors(errors, max_epochs=1000)
+    assert len(epochs) <= 1000
+    assert epochs[0] == 0 and epochs[-1] == 9999
+    assert flat[:3] == [0.0, 1.0, 2.0]
+    assert flat[-3:] == [29997.0, 29998.0, 29999.0]
+    # short histories pass through untouched
+    flat2, epochs2 = AppState._decimate_errors(errors[:30], max_epochs=1000)
+    assert flat2 == errors[:30] and epochs2 == list(range(10))

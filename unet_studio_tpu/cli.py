@@ -30,7 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bids", help="train/qc: comma-separated BIDS roots")
     p.add_argument("--device", default="", help="accepted for parity; device "
                    "selection is mesh-driven on TPU")
-    p.add_argument("--thread_count", type=int, default=min(8, os.cpu_count() or 1))
+    p.add_argument(
+        "--thread_count", type=int, default=min(8, os.cpu_count() or 1),
+        help="host worker threads: QC load/resample pool and evaluate "
+        "post-processing pool (train.cpp:983, qc.cpp:273; training "
+        "augmentation runs on-device, so it has no host aug workers)",
+    )
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--learning_rate", type=float, default=0.001)
     p.add_argument("--epoch", type=int, default=10000)
@@ -249,7 +254,9 @@ def cmd_evaluate(args) -> int:
         print(f"atlas loaded: {parc.atlas_region_count} regions")
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
-    engine = EvaluateEngine(model, compute_dtype=dtype)
+    engine = EvaluateEngine(
+        model, compute_dtype=dtype, post_workers=min(4, args.thread_count)
+    )
     for case in engine.run(files):
         if case.error_msg:
             print(f"error: {case.error_msg}", file=sys.stderr)
@@ -293,7 +300,10 @@ def cmd_qc(args) -> int:
             stem = stem[: -len(suffix)]
     report = os.path.join(os.path.dirname(model_path) or ".", stem + ".error_report.tsv")
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
-    run_qc(model, images, labels, report, compute_dtype=dtype)
+    run_qc(
+        model, images, labels, report, compute_dtype=dtype,
+        n_workers=args.thread_count,
+    )
     print(f"QC report saved to {report}")
     return 0
 

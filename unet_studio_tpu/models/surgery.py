@@ -64,11 +64,10 @@ def pad_out_count(model: UNet3d, new_out_count: int, seed: int = 0) -> UNet3d:
         f"conv{model.out_count},ks1,stride1", f"conv{new_out_count},ks1,stride1"
     )
     spec = parse_architecture(model.in_count, new_out_count, arch)
-    import jax
 
     new = UNet3d(
         spec=spec,
-        params=init_params(spec, jax.random.key(seed)),
+        params=init_params(spec, seed),
         state=init_state(spec),
         voxel_size=model.voxel_size.copy(),
         dim=tuple(model.dim),

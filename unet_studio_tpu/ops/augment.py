@@ -512,32 +512,38 @@ def visual_perception_augmentation(
             return jnp.where(bg_mask[..., None], 0.0, img)
 
         def stamp(img):
-            # stamps are smooth background clutter: render them at half
-            # resolution (1/8 the gather traffic) and nearest-upsample;
-            # same distribution, warp cost /8.  With a single channel, one
-            # supercell table (built once) serves all 5 stamp warps at a
-            # further 1/8 of the gather transactions each.
+            # stamps are smooth background clutter: render them at QUARTER
+            # resolution (1/64 the gather traffic) and nearest-upsample —
+            # the stamp warps were the augmentation's largest tail term
+            # (+55 ms/item measured at half-res on chip, round-3 notes);
+            # documented deviation vs the reference's full-res stamps
+            # (.cpp:345-426), distribution-tested.  With a single channel,
+            # one supercell table (built once) serves all 5 stamp warps at
+            # a further 1/8 of the gather transactions each.
             masked = image * (label != 0)[..., None]
-            half = (d // 2, h // 2, w // 2)
-            grid_half = meshgrid_xyz(half) * 2.0
+            r = 4 if all(s % 4 == 0 for s in shape_dhw) else (
+                2 if all(s % 2 == 0 for s in shape_dhw) else 1
+            )
+            low = (d // r, h // r, w // r)
+            grid_low = meshgrid_xyz(low) * float(r)
             use_sc = (
-                image.shape[-1] == 1
+                r > 1
+                and image.shape[-1] == 1
                 and not os.environ.get("UNET_TPU_NO_SUPERCELL")
-                and supercell_warp_shape_ok(shape_dhw)
-                and supercell_warp_shape_ok(half)
+                and supercell_warp_shape_ok(low)
             )
             if use_sc:
-                # sample from a 2x-mean-pooled source in HALF-RES voxel
-                # units: the half-res output grid strides 2 source voxels
-                # per step, which would double the per-block spread past
-                # the supercell window; in half-res units the Jacobian is
+                # sample from an rx-mean-pooled source in LOW-RES voxel
+                # units: the low-res output grid strides r source voxels
+                # per step, which would blow the per-block spread past
+                # the supercell window; in low-res units the Jacobian is
                 # back to the stamp affine's own scale (<= ~2.2).  Mip-
-                # consistent with the half-res stamp rendering (documented
-                # deviation); the table is 1/8 the full-res one.
-                mhalf = masked[..., 0].reshape(
-                    d // 2, 2, h // 2, 2, w // 2, 2
+                # consistent with the low-res stamp rendering (documented
+                # deviation); the table is 1/r^3 the full-res one.
+                mlow = masked[..., 0].reshape(
+                    d // r, r, h // r, r, w // r, r
                 ).mean(axis=(1, 3, 5))
-                sampler = SupercellLinearSampler(mhalf)
+                sampler = SupercellLinearSampler(mlow)
             else:
                 sampler = None
             out = img
@@ -554,9 +560,9 @@ def visual_perception_augmentation(
                     tuple(sc[i] for i in range(3)),
                     shape_dhw,
                 )
-                coords = grid_half @ m34[:, :3].T + m34[:, 3]
+                coords = grid_low @ m34[:, :3].T + m34[:, 3]
                 if use_sc:
-                    bg = sampler.sample(coords * 0.5)[..., None]
+                    bg = sampler.sample(coords * (1.0 / r))[..., None]
                 else:
                     bg = sample_linear(masked, coords)
                 bg = jnp.maximum(bg, 0.0)
@@ -565,17 +571,29 @@ def visual_perception_augmentation(
                     * opt.rubber_stamping_mag
                 )
                 bg = jax.vmap(_normalize_to, in_axes=(-1, 0), out_axes=-1)(bg, targets)
-                bg = (
-                    jnp.repeat(jnp.repeat(jnp.repeat(bg, 2, 0), 2, 1), 2, 2)
-                )[: img.shape[0], : img.shape[1], : img.shape[2]]
+                if r > 1:
+                    bg = jnp.repeat(
+                        jnp.repeat(jnp.repeat(bg, r, 0), r, 1), r, 2
+                    )[: img.shape[0], : img.shape[1], : img.shape[2]]
                 out = jnp.where(bg_mask[..., None], blend(out, bg), out)
             return out
 
         def perlin(img):
+            # half-res noise field, nearest-upsampled: the fractal field's
+            # shortest default wavelength (~20 voxels at zoom 0.05, octave
+            # x8) is far above half-res Nyquist, so the texture statistics
+            # are unchanged while the ALU cost (4 octaves x 8 corner
+            # hashes per voxel) drops 8x (+19.7 -> ~2.5 ms/item measured).
+            # Sampling at even full-res coordinates (zoom x2 per half-res
+            # step) keeps the field anchored to the same lattice.
             zoom = _uniform(k_zoom, 0.005, 0.05)
             seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
-            bg = perlin_octaves(shape_dhw, zoom, seed)
+            hd, hh, hw = (d + 1) // 2, (h + 1) // 2, (w + 1) // 2
+            bg = perlin_octaves((hd, hh, hw), zoom * 2.0, seed)
             bg = _normalize_to(bg, _uniform(k_mag, 0.0, 1.0) * opt.perlin_texture_mag)
+            bg = jnp.repeat(jnp.repeat(jnp.repeat(bg, 2, 0), 2, 1), 2, 2)[
+                :d, :h, :w
+            ]
             return jnp.where(bg_mask[..., None], blend(img, bg[..., None]), img)
 
         def synth_fn(img):

@@ -521,6 +521,71 @@ def scale_to_shape(vol: jnp.ndarray, out_shape_dhw, method="linear"):
     return sample_majority(vol, grid)
 
 
+def axis_interp_matrix(n_in: int, n_out: int, scale: float, offset: float) -> np.ndarray:
+    """(n_out, n_in) one-axis linear-interpolation matrix for the sample
+    positions ``p_i = i*scale + offset`` with ``sample_linear``'s exact
+    semantics: corner indices edge-clamped, out-of-range positions
+    (p < 0 or p > n_in-1) produce 0 (all-zero row).
+
+    An axis-aligned (diagonal) affine resample factorizes into one such
+    matrix per axis; applying them as three matmuls replaces the
+    transaction-bound 8-corner gather with MXU contractions — the whole
+    point on TPU, where gathers cost ~17 ns per fetched row (the
+    evaluate engine's two full-grid FOV resamples were gather-bound)."""
+    p = np.arange(n_out, dtype=np.float64) * float(scale) + float(offset)
+    valid = (p >= 0.0) & (p <= n_in - 1)
+    i0 = np.floor(p).astype(np.int64)
+    f = (p - i0).astype(np.float32)
+    j0 = np.clip(i0, 0, n_in - 1)
+    j1 = np.clip(i0 + 1, 0, n_in - 1)
+    m = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    np.add.at(m, (rows, j0), (1.0 - f) * valid)
+    np.add.at(m, (rows, j1), f * valid)
+    return m
+
+
+def separable_resample(vol: jnp.ndarray, mz: np.ndarray, my: np.ndarray, mx: np.ndarray):
+    """Resample (D,H,W[,C]) through per-axis interpolation matrices
+    (see ``axis_interp_matrix``).  Exactly equals ``sample_linear`` at the
+    corresponding diagonal-affine coordinates (parity-tested)."""
+
+    def contract(m, v, axis):
+        return jnp.moveaxis(
+            jnp.tensordot(
+                jnp.asarray(m),
+                jnp.moveaxis(v, axis, 0),
+                axes=([1], [0]),
+                precision=jax.lax.Precision.HIGHEST,
+            ),
+            0,
+            axis,
+        )
+
+    # contract the axis that SHRINKS most first (cheapest intermediate)
+    mats = [(0, mz), (1, my), (2, mx)]
+    mats.sort(key=lambda am: am[1].shape[0] / am[1].shape[1])
+    out = vol
+    for axis, m in mats:
+        out = contract(m, out, axis)
+    return out
+
+
+def diag_affine_matrices(mat34: np.ndarray, in_dhw, out_dhw):
+    """Per-axis interpolation matrices for a DIAGONAL 3x4 voxel transform
+    (out voxel -> in voxel, (x,y,z) convention).  Raises if off-diagonal
+    terms are present."""
+    m = np.asarray(mat34, np.float64)
+    off = m[:, :3] - np.diag(np.diag(m[:, :3]))
+    if np.abs(off).max() > 1e-9:
+        raise ValueError("transform is not axis-aligned")
+    # (x,y,z) rows of the matrix map to (W,H,D) axes
+    mx = axis_interp_matrix(in_dhw[2], out_dhw[2], m[0, 0], m[0, 3])
+    my = axis_interp_matrix(in_dhw[1], out_dhw[1], m[1, 1], m[1, 3])
+    mz = axis_interp_matrix(in_dhw[0], out_dhw[0], m[2, 2], m[2, 3])
+    return mz, my, mx
+
+
 def model_grid_transform(
     image_shape_xyz,
     image_vs,

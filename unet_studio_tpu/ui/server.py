@@ -57,8 +57,14 @@ class _Log:
 
 class AppState:
     def __init__(self, asset_root: str | None = None):
+        from ..config.session import Settings
+
         self.log = _Log()
         self.asset_root = find_asset_root(asset_root)
+        # persisted per-user defaults (the QSettings analog,
+        # optiontablewidget.cpp:437-441 + mainwindow MRU): option
+        # overrides, MRU dirs, last network.  Path overridable for tests.
+        self.settings = Settings(os.environ.get("UNET_TPU_SETTINGS"))
         self.model = None
         self.model_path = ""
         self.eval_engine = None
@@ -71,6 +77,35 @@ class AppState:
         self.atlas = None  # AtlasParcellation (evaluate-tab selection)
         self.lock = threading.Lock()
 
+    def _push_mru(self, key: str, value: str, limit: int = 10) -> None:
+        """Most-recently-used list in the persisted settings (the
+        reference's working-dir MRU, mainwindow.cpp)."""
+        mru = [v for v in self.settings.value(key, []) if v != value]
+        self.settings.set(key, [value] + mru[: limit - 1])
+
+    def get_settings(self) -> dict:
+        return {
+            "last_network": self.settings.value("last_network", ""),
+            "mru_model_dirs": self.settings.value("mru_model_dirs", []),
+            "mru_source_dirs": self.settings.value("mru_source_dirs", []),
+            "mru_bids": self.settings.value("mru_bids", []),
+            "option_overrides": self.settings.value("option_overrides", {}),
+        }
+
+    def set_option_overrides(self, overrides: dict) -> dict:
+        """Persist per-user augmentation-option overrides; /api/options
+        reports them merged over the defaults (the QSettings
+        settings.value(id, default) behavior, optiontablewidget.cpp:437-441)."""
+        cur = dict(self.settings.value("option_overrides", {}))
+        for k, v in overrides.items():
+            if v is None:
+                cur.pop(k, None)
+            else:
+                cur[k] = float(v)
+        self.settings.set("option_overrides", cur)
+        self.settings.save()
+        return {"option_overrides": cur}
+
     # ---------------- evaluate ----------------
 
     def load_model(self, path: str) -> dict:
@@ -79,6 +114,9 @@ class AppState:
         self.model = load_model(path)
         self.model_path = path
         self.eval_engine = None
+        self.settings.set("last_network", path)
+        self._push_mru("mru_model_dirs", os.path.dirname(os.path.abspath(path)))
+        self.settings.save()
         return {
             "path": path,
             "in_count": self.model.in_count,
@@ -105,6 +143,10 @@ class AppState:
         if self.eval_engine is None:
             self.eval_engine = EvaluateEngine(self.model)
         self.eval_engine.error_msg = ""
+        self._push_mru(
+            "mru_source_dirs", os.path.dirname(os.path.abspath(sources[0]))
+        )
+        self.settings.save()
         self.cases = list(self.eval_engine.run(sources))
         self.case = None
         self.cur_index = -1
@@ -140,6 +182,19 @@ class AppState:
         self.cur_index = index
         return {"dims": list(case.image_dim), "path": case.path, "current": index}
 
+    def _native_input(self, case) -> np.ndarray:
+        from ..io.nifti import canonicalize_lps, read_nifti
+
+        vol = canonicalize_lps(read_nifti(case.path)).data.astype(np.float32)
+        if vol.ndim == 4:
+            vol = vol[0]
+        return vol / max(vol.max(), 1e-9)
+
+    # the reference evaluate tab's 4 output views
+    # (mainwindow_evaluation.cpp:292-352): label overlay on the input,
+    # skull-stripped image, foreground mask, per-channel probability
+    EVAL_VIEWS = ("input", "fg", "skull_strip", "mask", "prob")
+
     def eval_slice(
         self,
         axis: int,
@@ -148,6 +203,7 @@ class AppState:
         view: str,
         vmin: float = 0.0,
         vmax: float = 1.0,
+        channel: int = 0,
     ) -> bytes:
         case = self.case
         if case is None:
@@ -155,14 +211,23 @@ class AppState:
         if view == "fg":
             vol = case.fg_prob
         elif view == "input":
-            from ..io.nifti import canonicalize_lps, read_nifti
-
-            vol = canonicalize_lps(read_nifti(case.path)).data.astype(np.float32)
-            if vol.ndim == 4:
-                vol = vol[0]
-            vol = vol / max(vol.max(), 1e-9)
+            vol = self._native_input(case)
+        elif view == "skull_strip":
+            vol = self._native_input(case) * case.fg_prob
+        elif view == "mask":
+            vol = (
+                case.mask if case.mask is not None else case.fg_prob > 0.5
+            ).astype(np.float32)
+        elif view == "prob":
+            prob = case.label_prob  # (C,D,H,W), fetched lazily
+            if prob is None:
+                raise RuntimeError("no probability volume")
+            vol = prob[int(np.clip(channel, 0, prob.shape[0] - 1))]
         else:
-            vol = case.fg_prob
+            # strict: an unknown view is a client bug, not a silent fg view
+            raise RuntimeError(
+                f"unknown view {view!r}; expected one of {self.EVAL_VIEWS}"
+            )
         lab = case.label if overlay else None
         index = int(np.clip(index, 0, vol.shape[axis] - 1))
         sl = np.take(vol, index, axis=axis)
@@ -260,6 +325,10 @@ class AppState:
         n_dev = min(len(jax.devices()), batch)
         while batch % n_dev:
             n_dev -= 1
+        # persisted per-user overrides are the baseline; the request's
+        # explicit options win (the QSettings-backed option tree)
+        opt_values = dict(self.settings.value("option_overrides", {}))
+        opt_values.update(cfg.get("options", {}))
         param = TrainParam(
             image_file_name=images,
             label_file_name=labels,
@@ -267,8 +336,10 @@ class AppState:
             epoch=int(cfg.get("epoch", 10000)),
             learning_rate=float(cfg.get("learning_rate", 1e-3)),
             seed=int(cfg.get("seed", 0)),
-            options=AugOptions.from_dict(cfg.get("options", {})),
+            options=AugOptions.from_dict(opt_values),
         )
+        self._push_mru("mru_bids", cfg["bids"])
+        self.settings.save()
         engine = TrainEngine(
             model, param, mesh=make_mesh(n_data=n_dev), model_path=model_path
         )
@@ -288,18 +359,41 @@ class AppState:
         self.train_thread.start()
         return {"pairs": len(images), "model": model_path, "devices": n_dev}
 
+    @staticmethod
+    def _decimate_errors(errors: list, max_epochs: int = 1000):
+        """Full-history error curve, decimated (NOT truncated) to at most
+        ``max_epochs`` points: the reference plots the entire history
+        (mainwindow_training.cpp:405-510); a 10000-epoch run must not lose
+        its first 90%.  Errors come in (ce, dice, mse) triplets per epoch;
+        decimation picks whole epochs, evenly spaced, always keeping the
+        first and the last.  Returns (flat_triplets, epoch_indices)."""
+        n = len(errors) // 3
+        if n <= max_epochs:
+            return errors[: n * 3], list(range(n))
+        idx = np.unique(
+            np.round(np.linspace(0, n - 1, max_epochs)).astype(int)
+        )
+        flat = []
+        for i in idx:
+            flat.extend(errors[3 * i : 3 * i + 3])
+        return flat, idx.tolist()
+
     def train_status(self) -> dict:
         e = self.train_engine
         if e is None:
             return {"running": False}
+        tr, tr_epochs = self._decimate_errors(e.model.training_errors)
+        te, te_epochs = self._decimate_errors(e.model.testing_errors)
         return {
             "running": not e.aborted,
             "epoch": e.cur_epoch,
             "total_epochs": e.param.epoch,
             "status": e.get_status(),
             "error_msg": e.error_msg,
-            "training_errors": e.model.training_errors[-3000:],
-            "testing_errors": e.model.testing_errors[-3000:],
+            "training_errors": tr,
+            "testing_errors": te,
+            "training_error_epochs": tr_epochs,
+            "testing_error_epochs": te_epochs,
         }
 
     def stop_training(self) -> dict:
@@ -478,15 +572,21 @@ def make_handler(state: AppState):
                         q.get("view", "input"),
                         float(q.get("vmin", 0.0)),
                         float(q.get("vmax", 1.0)),
+                        int(q.get("channel", 0)),
                     )
                     self._send(200, png, "image/png")
                 elif u.path == "/api/options":
                     from ..config.options import OPTION_TABLE, POSTPROC_TABLE
 
+                    overrides = state.settings.value("option_overrides", {})
+
                     def row(o):
                         return {
                             "category": o.category, "title": o.title,
-                            "id": o.id, "kind": o.kind, "default": o.default,
+                            "id": o.id, "kind": o.kind,
+                            # persisted per-user value wins over the table
+                            # default (QSettings analog)
+                            "default": overrides.get(o.id, o.default),
                             "min": o.minimum, "max": o.maximum,
                             "step": o.step, "decimals": o.decimals,
                             "hint": o.hint,
@@ -498,6 +598,8 @@ def make_handler(state: AppState):
                             "postproc": [row(o) for o in POSTPROC_TABLE],
                         }
                     )
+                elif u.path == "/api/settings":
+                    self._json(state.get_settings())
                 elif u.path == "/api/train/label_census":
                     self._json(state.label_census(q["bids"]))
                 elif u.path == "/api/train/status":
@@ -574,6 +676,8 @@ def make_handler(state: AppState):
                     self._json(state.reorder_channels(body["order"]))
                 elif u.path == "/api/console/run":
                     self._json(state.console_run(body["cmd"]))
+                elif u.path == "/api/settings":
+                    self._json(state.set_option_overrides(body.get("options", {})))
                 else:
                     self._json({"error": "not found"}, 404)
             except Exception as e:  # noqa: BLE001
