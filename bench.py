@@ -47,6 +47,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -212,65 +213,73 @@ def main() -> int:
     native = jnp.asarray(
         np.random.default_rng(2).random((*image_dhw, 1), np.float32)
     )
-    n_iters = 30
 
-    # time k inferences inside ONE jitted loop: on remote-execution
-    # backends block_until_ready is unreliable and per-call dispatch adds
-    # tens of ms, so the loop runs on device and we sync once via a D2H
-    # fetch of a scalar that depends on every iteration's outputs.
-    @jax.jit
-    def infer_loop(params, chunk):
-        def body(i, acc):
-            label, prob, fg = run_graph(
-                params, state, chunk + acc.astype(chunk.dtype)
-            )
-            return (
-                acc
-                + jnp.float32(fg.ravel()[0])
-                + jnp.float32(label.ravel()[0])
-                + prob.ravel()[0] * 0.0
-            )
+    # TIMING METHOD: run k iterations inside ONE jitted device loop (on
+    # remote-execution backends block_until_ready is unreliable and each
+    # dispatch+D2H sync costs a ~100-145 ms tunnel round trip), at TWO
+    # loop lengths, and report the SLOPE (t(n2)-t(n1))/(n2-n1) — the
+    # fixed per-call cost cancels exactly, so the number reflects the
+    # steady-state device rate a colocated production host would see.
+    n1, n2 = 8, 32
 
-        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
+    def make_loop(body):
+        @partial(jax.jit, static_argnames=("n",))
+        def run(params, chunk, n):
+            return jax.lax.fori_loop(0, n, partial(body, params, chunk), jnp.float32(0))
+
+        return run
+
+    def slope_time(loop, args, n1, n2):
+        _ = float(loop(*args, n=n1))  # compile + warm both lengths
+        _ = float(loop(*args, n=n2))
+        t0 = time.perf_counter()
+        _ = float(loop(*args, n=n1))
+        t1 = time.perf_counter()
+        _ = float(loop(*args, n=n2))
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+
+    def infer_body(params, chunk, i, acc):
+        label, prob, fg = run_graph(params, state, chunk + acc.astype(chunk.dtype))
+        return (
+            acc
+            + jnp.float32(fg.ravel()[0])
+            + jnp.float32(label.ravel()[0])
+            + prob.ravel()[0] * 0.0
+        )
+
+    infer_loop = make_loop(infer_body)
 
     infer_metric = "t1w_volumes_per_sec_skullstrip_infer_192x224x192"
     if not packed_ok:
         infer_metric += "_xla_fallback"
     infer_ms = None
     try:
-        def time_infer():
-            _ = float(infer_loop(params, native))  # compile + warm
-            t0 = time.perf_counter()
-            _ = float(infer_loop(params, native))  # device-bound, one sync
-            return (time.perf_counter() - t0) / n_iters
-
-        per_vol = retry("evaluate-graph timing", time_infer)
+        per_vol = retry(
+            "evaluate-graph timing",
+            lambda: slope_time(infer_loop, (params, native), n1, n2),
+        )
         infer_ms = per_vol * 1e3
         emit(infer_metric, 1.0 / per_vol, "volumes/sec")
     except Exception as e:  # noqa: BLE001
         log(f"evaluate-graph stage FAILED ({type(e).__name__}: {e})")
 
     # ---- secondary: bare packed forward latency + absolute utilization ----
-    @jax.jit
-    def fwd_loop(params, x):
-        def body(i, acc):
-            outs, _ = forward(
-                spec, params, x + acc.astype(x.dtype), train=False,
-                compute_dtype=jnp.bfloat16,
-            )
-            return acc + jnp.asarray(outs[0], jnp.float32).ravel()[0]
+    def fwd_body(params, x, i, acc):
+        outs, _ = forward(
+            spec, params, x + acc.astype(x.dtype), train=False,
+            compute_dtype=jnp.bfloat16,
+        )
+        return acc + jnp.asarray(outs[0], jnp.float32).ravel()[0]
 
-        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
+    fwd_loop = make_loop(fwd_body)
 
     fwd_ms = None
     try:
-        def time_fwd():
-            _ = float(fwd_loop(params, x))
-            t0 = time.perf_counter()
-            _ = float(fwd_loop(params, x))
-            return (time.perf_counter() - t0) / n_iters * 1e3
-
-        fwd_ms = retry("bare forward timing", time_fwd)
+        fwd_ms = retry(
+            "bare forward timing",
+            lambda: slope_time(fwd_loop, (params, x), n1, n2) * 1e3,
+        )
         name = "packed_forward_ms" if packed_ok else "xla_forward_ms"
         emit(name, fwd_ms, "ms")
         if peaks:
@@ -345,7 +354,20 @@ def main() -> int:
     rep = NamedSharding(mesh, P())
     sh = NamedSharding(mesh, P("data"))
 
+    n_steps = 4
+
     def stage_train_inputs():
+        # one key batch PER STEP: the augmentation's 25-75% probability
+        # gates are real lax.cond branches, so a single fixed key batch
+        # would time one arbitrary gate draw; n_steps*B draws sample the
+        # average mix the training loop actually pays
+        key_batches = [
+            jax.device_put(
+                jax.random.split(jax.random.fold_in(jax.random.key(0), s), B),
+                sh,
+            )
+            for s in range(n_steps)
+        ]
         return (
             jax.device_put(params, rep),
             jax.device_put(init_opt_state(params), rep),
@@ -357,30 +379,35 @@ def main() -> int:
             ),
             jax.device_put(np.ones(B, bool), sh),
             jax.device_put(np.zeros(B, bool), sh),
-            jax.device_put(jax.random.split(jax.random.key(0), B), sh),
+            key_batches,
         )
 
     lr = 1e-3
 
     def time_train_step():
-        tp, opt_state, img, lab, tmpl, shift, keys = retry(
+        tp, opt_state, img, lab, tmpl, shift, key_batches = retry(
             "train input staging", stage_train_inputs
         )
         step_fn, _ = build_train_step(model, tparam, mesh)
 
         def timed():
-            p, o, m = step_fn(tp, opt_state, img, lab, tmpl, shift, keys, lr)
+            p, o, m = step_fn(tp, opt_state, img, lab, tmpl, shift, key_batches[0], lr)
             _ = np.asarray(m)  # compile + warm, sync via D2H
-            p, o, m = step_fn(p, o, img, lab, tmpl, shift, keys, lr)
+            p, o, m = step_fn(p, o, img, lab, tmpl, shift, key_batches[0], lr)
             _ = np.asarray(m)  # second warmup: first call w/ committed outputs
-            # enough steps that the one D2H sync's tunnel round-trip latency
-            # (~100 ms on the dev link) is amortized out of the per-item cost
-            n_steps = 4
+            # slope over two chained-step counts: the one D2H sync per
+            # segment (~100-145 ms tunnel round trip) cancels exactly
+            k1, k2 = n_steps, 3 * n_steps
             t0 = time.perf_counter()
-            for _i in range(n_steps):
-                p, o, m = step_fn(p, o, img, lab, tmpl, shift, keys, lr)
-            _ = np.asarray(m)  # one sync; steps chain through param deps
-            return n_steps * B / (time.perf_counter() - t0)
+            for i in range(k1):
+                p, o, m = step_fn(p, o, img, lab, tmpl, shift, key_batches[i % n_steps], lr)
+            _ = np.asarray(m)  # sync; steps chain through param deps
+            t1 = time.perf_counter()
+            for i in range(k2):
+                p, o, m = step_fn(p, o, img, lab, tmpl, shift, key_batches[i % n_steps], lr)
+            _ = np.asarray(m)
+            t2 = time.perf_counter()
+            return (k2 - k1) * B / ((t2 - t1) - (t1 - t0))
 
         return retry("train step timing", timed)
 

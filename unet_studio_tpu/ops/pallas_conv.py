@@ -21,10 +21,14 @@ matmul:
   right) are disjoint, so a single matrix carries both taps.
 * Slabs are DOUBLE-BUFFERED across the sequential grid: tile t starts
   tile t+1's DMAs before computing, hiding the HBM loads behind the MXU.
-* FLOP inflation vs a dense conv is 2*128/(3*C) (5.3x for C=16, 2.7x for
-  C=32, 1.3x for C=64) — far cheaper than the 8x HBM inflation it
-  replaces; HBM traffic is ~2.4x the dense volume (read + small overlap
-  + write) instead of ~9-17x.
+* FLOP inflation vs a dense conv: the 9 center matmuls are the banded
+  structure's floor (128/(3*C) each); the halo matmuls (2*C live lanes
+  of 128) are PACKED — up to 128/(2*C) dz taps share one matmul at
+  lane-rolled disjoint groups (_halo_groups), cutting halo MXU work 3x
+  at C=16 / 1.5x at C=32.  Net inflation ~(9+3)/18*2*128/(3*C) = 3.6x
+  for C=16, 2.2x (9+5)/18 for C=32, 1.3x for C=64 — far cheaper than
+  the 8x HBM inflation it replaces; HBM traffic is ~2.4x the dense
+  volume (read + small overlap + write) instead of ~9-17x.
 
 The backward reuses the same machinery:
 * dx = stride-1 conv of g with flip(w) transposed — the same kernel.
@@ -136,27 +140,57 @@ def _build_w2_center(w: jnp.ndarray, bx: int, dtype) -> jnp.ndarray:
     return jnp.stack(mats).astype(dtype)  # (3, 3, lane, N)
 
 
+def _halo_groups(ci: int) -> tuple[tuple[int, ...], ...]:
+    """dz tap indices packed per halo matmul.
+
+    A halo operand has only 2*Ci live lanes ([:Ci] right + [Ci padding..
+    lane-Ci:] left), so up to 128//(2*Ci) different dz taps fit in ONE
+    128-lane operand at disjoint lane groups (member k lane-rolled by
+    2*Ci*k).  C=16 packs all 3 dz into one matmul, C=32 packs 2+1,
+    C=64 stays 1 per matmul — cutting the halo MXU work 3x/1.5x/1x.
+    UNET_TPU_NO_HALO_PACK=1 restores one-matmul-per-dz (A/B + fallback).
+    """
+    import os
+
+    if os.environ.get("UNET_TPU_NO_HALO_PACK"):
+        return _UNPACKED_GROUPS
+    g = max(1, min(3, _LANE // (2 * ci)))
+    return tuple(tuple(range(s, min(s + g, 3))) for s in range(0, 3, g))
+
+
+def _halo_lane_rows(ci: int, k_idx: int) -> tuple[int, int]:
+    """(left_row_start, right_row_start) for packed-group member k_idx:
+    after a +2*Ci*k lane roll, right-live lanes [:Ci] land at
+    [2*Ci*k : 2*Ci*k+Ci] and left-live lanes [lane-Ci:] land at
+    [(2*Ci*k - Ci) % lane : ...]."""
+    shift = 2 * ci * k_idx
+    return (shift - ci) % _LANE, shift
+
+
 def _build_w2_halo(w: jnp.ndarray, bx: int, dtype) -> jnp.ndarray:
-    """(3,3,3,Ci,Co) -> (3_dy, 3_dz, lane, bx*Co) combined halo matrices.
+    """(3,3,3,Ci,Co) -> (3_dy, n_groups, lane, bx*Co) PACKED halo matrices.
 
     The halo operand keeps ORIGINAL lanes: the left-neighbor (-1 row
     shift) operand is live in lanes [lane-Ci:) and feeds output position
     p=0 via tap dx=0; the right-neighbor (+1 row) operand is live in
     lanes [:Ci) and feeds p=bx-1 via dx=2.  The two lane sets are
     disjoint for every supported C, so one matrix serves the summed
-    operand.
+    operand; with group packing (see _halo_groups) several dz taps'
+    operands additionally share one matrix at lane-rolled offsets.
     """
     ci, co = w.shape[3], w.shape[4]
     mats = []
     for dy in range(3):
-        dz_mats = []
-        for dz in range(3):
+        g_mats = []
+        for ks in _halo_groups(ci):
             m = jnp.zeros((_LANE, bx * co), w.dtype)
-            m = m.at[_LANE - ci :, :co].set(w[dz, dy, 0])
-            m = m.at[:ci, (bx - 1) * co :].set(w[dz, dy, 2])
-            dz_mats.append(m)
-        mats.append(jnp.stack(dz_mats))
-    return jnp.stack(mats).astype(dtype)  # (3, 3, lane, N)
+            for k_idx, dz in enumerate(ks):
+                lrow, rrow = _halo_lane_rows(ci, k_idx)
+                m = m.at[lrow : lrow + ci, :co].set(w[dz, dy, 0])
+                m = m.at[rrow : rrow + ci, (bx - 1) * co :].set(w[dz, dy, 2])
+            g_mats.append(m)
+        mats.append(jnp.stack(g_mats))
+    return jnp.stack(mats).astype(dtype)  # (3, n_groups, lane, N)
 
 
 def _edge_masks(th: int, nb: int, ci: int, dtype):
@@ -273,6 +307,22 @@ def _build_halo(oph_ref, slab, mask_ref, slot, dy, *, th, nb):
         ).astype(oph_ref.dtype)
 
 
+def _pack_halo_group(hp_ref, oph_ref, ks, *, tz, ci):
+    """Combine the halo operands of several dz taps into ONE 128-lane
+    operand: member k's 2*Ci live lanes are lane-rolled to the disjoint
+    group [2*Ci*k ...] (see _halo_groups/_halo_lane_rows).  Pure VPU work
+    that converts 3 halo matmuls per dy into 1 (C=16)."""
+    for zi in range(tz):
+        acc = oph_ref[ks[0] + zi].astype(jnp.float32)
+        for k_idx in range(1, len(ks)):
+            acc = acc + pltpu.roll(
+                oph_ref[ks[k_idx] + zi].astype(jnp.float32),
+                shift=2 * ci * k_idx,
+                axis=1,
+            )
+        hp_ref[zi] = acc.astype(hp_ref.dtype)
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -292,6 +342,7 @@ def _fwd_kernel(
     o_ref,
     slab,
     oph,
+    hp,
     sems,
     *,
     tz,
@@ -300,6 +351,8 @@ def _fwd_kernel(
     d,
     gy,
     n_tiles,
+    groups,
+    ci,
 ):
     t = pl.program_id(0)
     slot = jax.lax.rem(t, 2)
@@ -339,20 +392,33 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
+        for gi, ks in enumerate(groups):
+            if len(ks) == 1:
+                opnd = oph[ks[0] : ks[0] + tz].reshape(R, _LANE)
+            else:
+                _pack_halo_group(hp, oph, ks, tz=tz, ci=ci)
+                opnd = hp[:].reshape(R, _LANE)
             acc = acc + jnp.dot(
-                oph[dz : dz + tz].reshape(R, _LANE),
-                w2h_ref[dy, dz],
+                opnd,
+                w2h_ref[dy, gi],
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
     o_ref[:] = acc.reshape(tz, rows, _LANE).astype(o_ref.dtype)
 
 
-def _make_fwd_call(d, h, nb, tz, th, dtype):
+_UNPACKED_GROUPS = ((0,), (1,), (2,))
+
+
+def _make_fwd_call(d, h, nb, tz, th, dtype, groups=_UNPACKED_GROUPS, ci=0):
+    """``groups``/``ci``: halo-packing layout (see _halo_groups); the
+    default is the unpacked one-matmul-per-dz layout (used by the entry
+    conv's dx whose matrices are built in that layout)."""
     gz, gy = d // tz, h // th
     n_tiles = gz * gy
     kern = partial(
-        _fwd_kernel, tz=tz, th=th, nb=nb, d=d, gy=gy, n_tiles=n_tiles
+        _fwd_kernel, tz=tz, th=th, nb=nb, d=d, gy=gy, n_tiles=n_tiles,
+        groups=groups, ci=ci,
     )
     srows = (th + 2) * nb
     return pl.pallas_call(
@@ -362,7 +428,7 @@ def _make_fwd_call(d, h, nb, tz, th, dtype):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # edge masks (2,rows,128)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, N)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 center (3,3,128,128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 halo (3,3,128,128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 halo (3,g,128,128)
             pl.BlockSpec(memory_space=pltpu.HBM),  # x flat view, unpadded
         ],
         out_specs=pl.BlockSpec(
@@ -374,6 +440,7 @@ def _make_fwd_call(d, h, nb, tz, th, dtype):
         scratch_shapes=[
             pltpu.VMEM((2, tz + 2, srows, _LANE), dtype),
             pltpu.VMEM((tz + 2, th * nb, _LANE), dtype),
+            pltpu.VMEM((tz, th * nb, _LANE), dtype),  # packed halo operand
             pltpu.SemaphoreType.DMA((2, tz + 2)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
@@ -402,7 +469,7 @@ def conv_s1_packed(x3, w, b, dims):
     w2h = _build_w2_halo(w, bx, dtype)
     bias2 = jnp.tile(b.astype(jnp.float32), bx)[None]  # (1, N)
     masks = _edge_masks(th, nb, ci, dtype)
-    call = _make_fwd_call(d, h, nb, tz, th, dtype)
+    call = _make_fwd_call(d, h, nb, tz, th, dtype, _halo_groups(ci), ci)
     return call(masks, bias2, w2c, w2h, x3)  # (d, h*nb, 128) row-major
 
 
@@ -432,6 +499,7 @@ def _dw_kernel(
     dwh_ref,
     slab,
     oph,
+    hp,
     sems,
     *,
     tz,
@@ -440,6 +508,8 @@ def _dw_kernel(
     d,
     gy,
     n_tiles,
+    groups,
+    ci,
 ):
     t = pl.program_id(0)
     slot = jax.lax.rem(t, 2)
@@ -482,18 +552,26 @@ def _dw_kernel(
                 dimension_numbers=dn,
                 preferred_element_type=jnp.float32, precision=prec,
             )
-            dwh_ref[dy, dz] += jax.lax.dot_general(
-                oph[dz : dz + tz].reshape(R, _LANE), g,
+        for gi, ks in enumerate(groups):
+            if len(ks) == 1:
+                opnd = oph[ks[0] : ks[0] + tz].reshape(R, _LANE)
+            else:
+                _pack_halo_group(hp, oph, ks, tz=tz, ci=ci)
+                opnd = hp[:].reshape(R, _LANE)
+            dwh_ref[dy, gi] += jax.lax.dot_general(
+                opnd, g,
                 dimension_numbers=dn,
                 preferred_element_type=jnp.float32, precision=prec,
             )
 
 
-def _make_dw_call(d, h, nb, tz, th, dtype):
+def _make_dw_call(d, h, nb, tz, th, dtype, groups=_UNPACKED_GROUPS, ci=0):
     gz, gy = d // tz, h // th
     n_tiles = gz * gy
+    ng = len(groups)
     kern = partial(
-        _dw_kernel, tz=tz, th=th, nb=nb, d=d, gy=gy, n_tiles=n_tiles
+        _dw_kernel, tz=tz, th=th, nb=nb, d=d, gy=gy, n_tiles=n_tiles,
+        groups=groups, ci=ci,
     )
     srows = (th + 2) * nb
     return pl.pallas_call(
@@ -514,17 +592,18 @@ def _make_dw_call(d, h, nb, tz, th, dtype):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, 3, _LANE, _LANE), lambda t: (0, 0, 0, 0),
+                (3, ng, _LANE, _LANE), lambda t: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((3, 3, _LANE, _LANE), jnp.float32),
-            jax.ShapeDtypeStruct((3, 3, _LANE, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((3, ng, _LANE, _LANE), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, tz + 2, srows, _LANE), dtype),
             pltpu.VMEM((tz + 2, th * nb, _LANE), dtype),
+            pltpu.VMEM((tz, th * nb, _LANE), dtype),  # packed halo operand
             pltpu.SemaphoreType.DMA((2, tz + 2)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
@@ -533,8 +612,16 @@ def _make_dw_call(d, h, nb, tz, th, dtype):
 
 
 def _extract_dw(dwc, dwh, bx, ci):
-    """Recover dw (3,3,3,Ci,Co) from the packed accumulators."""
+    """Recover dw (3,3,3,Ci,Co) from the packed accumulators.  ``dwh`` is
+    in the group-packed layout (3_dy, n_groups, 128, N): member k of
+    group gi holds dz=groups[gi][k] at the lane-rolled row offsets of
+    _halo_lane_rows."""
     co = ci
+    groups = _halo_groups(ci)
+    where_dz = {}
+    for gi, ks in enumerate(groups):
+        for k_idx, dz in enumerate(ks):
+            where_dz[dz] = (gi, *_halo_lane_rows(ci, k_idx))
     dw = jnp.zeros((3, 3, 3, ci, co), jnp.float32)
     for dy in range(3):
         blk = dwc[dy].reshape(3, bx, ci, bx, co)  # (dz, pc, ci, p, co)
@@ -547,10 +634,20 @@ def _extract_dw(dwc, dwh, bx, ci):
             # at bx=1 the dx=0/dx=2 taps always cross the block edge and
             # the center term list is empty — the contribution is pure halo
             acc = sum(terms, jnp.zeros((3, ci, co), jnp.float32))
-            if dx == 0:  # left halo (lanes [128-ci:]) feeds output col p=0
-                acc = acc + dwh[dy, :, _LANE - ci :, :co]
-            if dx == 2:  # right halo (lanes [:ci]) feeds output col p=bx-1
-                acc = acc + dwh[dy, :, :ci, (bx - 1) * co :]
+            if dx == 0:  # left halo rows feed output col p=0
+                acc = acc + jnp.stack(
+                    [
+                        dwh[dy, where_dz[dz][0], where_dz[dz][1] : where_dz[dz][1] + ci, :co]
+                        for dz in range(3)
+                    ]
+                )
+            if dx == 2:  # right halo rows feed output col p=bx-1
+                acc = acc + jnp.stack(
+                    [
+                        dwh[dy, where_dz[dz][0], where_dz[dz][2] : where_dz[dz][2] + ci, (bx - 1) * co :]
+                        for dz in range(3)
+                    ]
+                )
             dw = dw.at[:, dy, dx].set(acc)
     return dw
 
@@ -582,7 +679,7 @@ def _conv_s1_p_bwd(dims, res, g3):
     nb = wd // bx
     tz, th = _pick_tiles(d, h, nb, jnp.dtype(x3.dtype).itemsize)
     masks = _edge_masks(th, nb, ci, x3.dtype)
-    call = _make_dw_call(d, h, nb, tz, th, x3.dtype)
+    call = _make_dw_call(d, h, nb, tz, th, x3.dtype, _halo_groups(ci), ci)
     dwc, dwh = call(masks, x3, g3)
     dw = _extract_dw(dwc, dwh, bx, ci)
     db = jnp.sum(g3.astype(jnp.float32), axis=(0, 1))
@@ -617,7 +714,7 @@ def _conv3d_s1_bwd(res, g):
     x3 = x.reshape(d, h * nb, _LANE)
     g3 = g.reshape(d, h * nb, _LANE)
     masks = _edge_masks(th, nb, ci, x.dtype)
-    call = _make_dw_call(d, h, nb, tz, th, x.dtype)
+    call = _make_dw_call(d, h, nb, tz, th, x.dtype, _halo_groups(ci), ci)
     dwc, dwh = call(masks, x3, g3)
     dw = _extract_dw(dwc, dwh, bx, ci)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
