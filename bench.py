@@ -214,6 +214,45 @@ def main() -> int:
         np.random.default_rng(2).random((*image_dhw, 1), np.float32)
     )
 
+    # ---- on-chip numerics gate #1b: packed-head fov_post vs canonical ----
+    # (the judged infer metric rides the packed-head separable fov_post;
+    # same honesty rule — gate the NEW path against its exact fallback
+    # before timing it, and time the fallback under a distinct name if it
+    # fails)
+    infer_suffix = ""
+    if packed_ok:
+        try:
+            os.environ["UNET_TPU_NO_PACKED_HEAD"] = "1"
+            run_graph_std = make_infer_graph(
+                model, image_dhw, image_vs, jnp.bfloat16
+            )
+            del os.environ["UNET_TPU_NO_PACKED_HEAD"]
+
+            def head_gate():
+                _, p1, _ = jax.jit(run_graph)(params, state, native)
+                _, p2, _ = jax.jit(run_graph_std)(params, state, native)
+                mag = float(jnp.max(jnp.abs(p2)))
+                return float(jnp.max(jnp.abs(p1 - p2))) / max(mag, 1e-6)
+
+            rel_h = retry("packed-head fov gate", head_gate)
+            emit("infer_packed_head_max_rel_err", rel_h, "ratio")
+            if rel_h > 0.02:
+                log(
+                    f"PARITY FAILURE: packed-head fov rel err {rel_h:.4f}"
+                    " — canonical-head route"
+                )
+                run_graph = run_graph_std
+                infer_suffix = "_packed_head_off"
+        except Exception as e:  # noqa: BLE001
+            log(
+                f"packed-head gate failed ({type(e).__name__}: {e});"
+                " canonical-head route"
+            )
+            os.environ["UNET_TPU_NO_PACKED_HEAD"] = "1"
+            run_graph = make_infer_graph(model, image_dhw, image_vs, jnp.bfloat16)
+            del os.environ["UNET_TPU_NO_PACKED_HEAD"]
+            infer_suffix = "_packed_head_off"
+
     # TIMING METHOD: run k iterations inside ONE jitted device loop (on
     # remote-execution backends block_until_ready is unreliable and each
     # dispatch+D2H sync costs a ~100-145 ms tunnel round trip), at TWO
@@ -253,6 +292,8 @@ def main() -> int:
     infer_metric = "t1w_volumes_per_sec_skullstrip_infer_192x224x192"
     if not packed_ok:
         infer_metric += "_xla_fallback"
+    else:
+        infer_metric += infer_suffix
     infer_ms = None
     try:
         per_vol = retry(

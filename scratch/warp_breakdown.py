@@ -71,6 +71,72 @@ t_cmb = timeloop(
     lambda nb: rs._combine_packed_corners(nb, fx, fy, fz, valid, peak)[0], nbr)
 print(f"combine:     {t_cmb:8.2f} ms", flush=True)
 
+t_full = timeloop(
+    lambda a, b, c: rs.sample_warp_image_label_supercell(a, b, c)[0],
+    img, lab, coords, perturb=2)
+print(f"sc warp e2e: {t_full:8.2f} ms", flush=True)
+
+t_cc = timeloop(
+    lambda a, b, c: rs.sample_warp_image_label(a, b, c)[0],
+    img, lab, coords, perturb=2)
+print(f"cc warp e2e: {t_cc:8.2f} ms", flush=True)
+
+
+# --- coordinate-field construction (lens + 3 foci + perspective + affine) --
+def build_coords(key):
+    w_, h_, d_ = W, H, D
+    pos = rs.meshgrid_xyz((D, H, W))
+    kl, kn, kp = jax.random.split(key, 3)
+    mag = jax.random.uniform(kl) * 0.1
+    radius = max(D, H, W) / 2.0
+    c_int = jnp.asarray([w_ // 2, h_ // 2, d_ // 2], jnp.float32)
+    dirv = pos - c_int
+    len2 = jnp.sum(dirv * dirv, axis=-1, keepdims=True)
+    pos = pos + dirv * (-(mag / (radius * radius)) * len2)
+    base = rs.meshgrid_xyz((D, H, W))
+    disp = jnp.zeros_like(pos)
+    num = jnp.floor(jax.random.uniform(kn, minval=1.0, maxval=4.0))
+    for i in range(3):
+        kk = jax.random.fold_in(key, 100 + i)
+        frac = jax.random.uniform(kk, (3,), minval=0.3, maxval=0.7)
+        c = frac * jnp.asarray([w_ - 1, h_ - 1, d_ - 1], jnp.float32)
+        radius_i = w_ * jax.random.uniform(
+            jax.random.fold_in(kk, 1), minval=0.1, maxval=0.5)
+        mag_i = jax.random.uniform(
+            jax.random.fold_in(kk, 2), minval=0.05, maxval=0.1)
+        active = (jnp.float32(i) < num).astype(jnp.float32)
+        dv = base - c
+        length = jnp.linalg.norm(dv, axis=-1, keepdims=True)
+        inside = (length <= radius_i) & (length > 1e-6)
+        coef = jnp.where(
+            inside,
+            -radius_i * mag_i * jnp.sin(length * (np.pi / radius_i)) / length,
+            0.0)
+        disp = disp + dv * coef * active
+    pos = pos + disp
+    persp = jax.random.uniform(kp, (3,), minval=-0.5, maxval=0.5) * (
+        0.1 / jnp.asarray([w_, h_, d_], jnp.float32))
+    center = jnp.asarray([(w_ - 1) / 2, (h_ - 1) / 2, (d_ - 1) / 2], jnp.float32)
+    denom = jnp.einsum("...i,i->...", pos - center, persp) + 1.0
+    pos = pos / denom[..., None]
+    return pos @ m[:, :3].T + m[:, 3]
+
+
+@jax.jit
+def coords_loop(n_dummy):
+    def body(i, acc):
+        k = jax.random.fold_in(jax.random.key(3), i)
+        o = build_coords(k)
+        return acc + o.ravel()[0]
+    return jax.lax.fori_loop(0, 10, body, jnp.float32(0) + n_dummy)
+
+
+_ = float(coords_loop(jnp.float32(0)))
+t0 = time.perf_counter()
+_ = float(coords_loop(jnp.float32(0)))
+t_coords = (time.perf_counter() - t0) / 10 * 1e3
+print(f"coords (lens+3foci+persp+affine): {t_coords:8.2f} ms", flush=True)
+
 # --- honest full-aug mean over keys (fold i into the key) ------------------
 from unet_studio_tpu.ops.augment import AugOptions, visual_perception_augmentation
 opts = AugOptions()

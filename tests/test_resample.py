@@ -244,3 +244,42 @@ def test_make_infer_graph_separable_matches_gather(rng, monkeypatch):
         np.asarray(f1, np.float32), np.asarray(f2, np.float32), atol=1e-2
     )
     assert float(np.mean(np.asarray(l1) == np.asarray(l2))) > 0.9995
+
+
+def test_make_infer_graph_packed_head_matches_standard(rng, monkeypatch):
+    """The evaluate graph's packed-head route (level-0 logits consumed in
+    the (R, bx*out) packed layout by the separable FOV resample, emitting
+    channel-leading prob) must match the standard 5D route.  Forced
+    through the packed dataflow in interpret mode (UNET_TPU_FORCE_PACKED)
+    so the CPU suite covers the TPU-only path."""
+    import numpy as np
+
+    from unet_studio_tpu.engine.evaluate import make_infer_graph
+    from unet_studio_tpu.models.unet3d import UNet3d
+
+    from unet_studio_tpu.models.dsl import default_architecture
+
+    # packed-eligible tiny grid: C=16 level needs W%8==0 and (W*C/128)%8==0
+    arch = "conv16,ks3,stride1+norm,leaky_relu\n" \
+           "conv32,ks3,stride2+norm,leaky_relu+conv_trans16,ks2,stride2\n" \
+           "conv16,ks3,stride1+norm,leaky_relu+conv4,ks1,stride1"
+    model = UNet3d.create(1, 4, arch, seed=0)
+    model.dim = (64, 8, 8)  # (x, y, z)
+    image_dhw, image_vs = (10, 9, 70), np.array([1.1, 0.9, 1.0], np.float32)
+    chunk = jnp.asarray(rng.random((*image_dhw, 1), np.float32))
+    params = {k: jnp.asarray(v) for k, v in model.params.items()}
+
+    monkeypatch.delenv("UNET_TPU_NO_SEPARABLE_FOV", raising=False)
+    monkeypatch.setenv("UNET_TPU_FORCE_PACKED", "1")
+    run_packed = make_infer_graph(model, image_dhw, image_vs, jnp.float32)
+    l1, p1, f1 = jax.jit(run_packed)(params, {}, chunk)
+    monkeypatch.delenv("UNET_TPU_FORCE_PACKED")
+    run_std = make_infer_graph(model, image_dhw, image_vs, jnp.float32)
+    l2, p2, f2 = jax.jit(run_std)(params, {}, chunk)
+
+    assert p1.shape == (4, *image_dhw)  # channel-leading contract
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(f1, np.float32), np.asarray(f2, np.float32), atol=1e-2
+    )
+    assert float(np.mean(np.asarray(l1) == np.asarray(l2))) > 0.999

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.nifti import NiftiImage, apply_flip_swap, canonicalize_lps, read_nifti, write_nifti
-from ..models.unet3d import UNet3d, forward
+from ..models.unet3d import PackedHead, UNet3d, forward
 from ..ops.morphology import (
     anisotropic_diffusion,
     apply_single_component,
@@ -81,14 +81,16 @@ class EvalCase:
     mask: np.ndarray | None = None
     is_label: bool = True
     error_msg: str = ""
-    _device_prob: object = None  # (D,H,W,C) on device, fetched lazily
+    _device_prob: object = None  # (C,D,H,W) on device, fetched lazily
     _label_prob: np.ndarray | None = None
 
     @property
     def label_prob(self) -> np.ndarray | None:
-        """(C,D,H,W) probabilities; transferred from device on first use."""
+        """(C,D,H,W) probabilities; transferred from device on first use.
+        The device graph already emits channel-leading, so the fetch is a
+        straight copy."""
         if self._label_prob is None and self._device_prob is not None:
-            self._label_prob = np.moveaxis(np.asarray(self._device_prob), -1, 0)
+            self._label_prob = np.asarray(self._device_prob)
             self._device_prob = None
         return self._label_prob
 
@@ -162,10 +164,17 @@ def make_infer_graph(model: UNet3d, image_dhw: tuple, image_vs, compute_dtype=jn
     if separable:
         fwd_mats = diag_affine_matrices(fwd34, image_dhw, model_dhw)
         inv_mats = diag_affine_matrices(inv34, model_dhw, image_dhw)
+    # packed-head fov_post (consume level-0 logits in the packed layout);
+    # UNET_TPU_NO_PACKED_HEAD=1 forces the canonical-5D route — the exact
+    # fallback + A/B control, and bench.py's on-chip parity gate for this
+    # path compares the two
+    packed_head = separable and not os.environ.get("UNET_TPU_NO_PACKED_HEAD")
 
     spec = model.spec
     cdt = compute_dtype
     postproc = model.postproc
+
+    prec = jax.lax.Precision.HIGHEST
 
     def run(params, state, chunk):  # chunk: (D,H,W,C) native grid
         # params/state arrive as device-resident arguments (uploaded
@@ -179,29 +188,55 @@ def make_infer_graph(model: UNet3d, image_dhw: tuple, image_vs, compute_dtype=jn
             model_in = sample_linear(chunk, coords)  # (Dm,Hm,Wm,C)
         outs, _ = forward(
             spec, params, model_in[None], train=False, state=state,
-            compute_dtype=cdt,
+            compute_dtype=cdt, level0_packed=packed_head,
         )
-        logits = outs[0][0]  # (Dm,Hm,Wm,out_c) float32
-        # fov_post: back to the native grid
-        if separable:
-            native_logits = separable_resample(logits, *inv_mats)
+        lvl0 = outs[0]
+        if isinstance(lvl0, PackedHead):
+            # fov_post straight off the PACKED head output: the
+            # (R, bx*out) matmul result reshapes FREELY to
+            # (Dm, Hm, nb, bx, out) — no lane-padded canonical
+            # materialization of a 4-lane tensor (measured ~5 ms at the
+            # flagship grid), and the per-axis interpolation matmuls
+            # consume it as-is.  The x contraction emits CHANNEL-LEADING
+            # (out, D, H, W): minor dim W stays lane-dense end to end.
+            dm, hm, wm, c_in = lvl0.dims
+            oc = lvl0.out_c
+            bx = 128 // c_in
+            nb = wm // bx
+            mz, my, mx = (jnp.asarray(m) for m in inv_mats)
+            t = lvl0.y2.reshape(dm, hm, nb, bx, oc)
+            t = jnp.tensordot(mz, t, axes=([1], [0]), precision=prec)
+            t = jnp.moveaxis(
+                jnp.tensordot(my, t, axes=([1], [1]), precision=prec), 0, 1
+            )
+            t = t.reshape(t.shape[0], t.shape[1], wm, oc)
+            native_logits_cl = jnp.einsum(
+                "zyXc,xX->czyx", t, mx, precision=prec
+            )  # (out, D, H, W) native grid
         else:
-            back = apply_affine(meshgrid_xyz(image_dhw), jnp.asarray(inv34))
-            native_logits = sample_linear(logits, back)  # (D,H,W,out_c)
+            logits = lvl0[0]  # (Dm,Hm,Wm,out_c) float32
+            # fov_post: back to the native grid
+            if separable:
+                native_logits = separable_resample(logits, *inv_mats)
+            else:
+                back = apply_affine(meshgrid_xyz(image_dhw), jnp.asarray(inv34))
+                native_logits = sample_linear(logits, back)  # (D,H,W,out_c)
+            native_logits_cl = jnp.moveaxis(native_logits, -1, 0)
         if "softmax" in postproc:
-            prob = jax.nn.softmax(native_logits, axis=-1)
+            prob = jax.nn.softmax(native_logits_cl, axis=0)
         else:
-            prob = native_logits
-        fg = 1.0 - prob[..., 0]
+            prob = native_logits_cl
+        fg = 1.0 - prob[0]
         if "argmax" in postproc:
             label = jnp.where(
-                fg > 0.5, jnp.argmax(prob, axis=-1).astype(jnp.int16), 0
+                fg > 0.5, jnp.argmax(prob, axis=0).astype(jnp.int16), 0
             )
         else:
             label = jnp.zeros(image_dhw, jnp.int16)
         # compact host-transfer dtypes: the D2H link may be slow (the
         # dev tunnel runs at ~30 MB/s); fg precision loss at bf16 is
-        # irrelevant for a probability mask
+        # irrelevant for a probability mask.  prob is CHANNEL-LEADING
+        # (C, D, H, W) — the host-side label_prob contract's own layout.
         return label, prob, fg.astype(jnp.bfloat16)
 
     return run
@@ -304,8 +339,9 @@ class EvaluateEngine:
         case.label = np.asarray(
             labels[0] if len(labels) == 1 else jnp.concatenate(labels, 0)
         ).astype(np.int32)
-        prob = probs[0] if len(probs) == 1 else jnp.concatenate(probs, 0)
-        case._device_prob = prob  # (D,H,W,C), fetched on demand
+        # multi-chunk cases stack along D = axis 1 of the (C,D,H,W) prob
+        prob = probs[0] if len(probs) == 1 else jnp.concatenate(probs, 1)
+        case._device_prob = prob  # (C,D,H,W), fetched on demand
         case.fg_prob = np.asarray(
             fgs[0] if len(fgs) == 1 else jnp.concatenate(fgs, 0)
         ).astype(np.float32)

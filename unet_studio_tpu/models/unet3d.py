@@ -843,14 +843,33 @@ class _PackedUnsupported(Exception):
     pass
 
 
+from typing import NamedTuple
+
+
+class PackedHead(NamedTuple):
+    """Level-0 head logits left in the packed (R, bx*out) layout.
+
+    ``y2[(d*H + h)*nb + b, p*out_c + c]`` is voxel (d, h, b*bx+p) class c
+    — ``y2.reshape(D, H, nb, bx, out_c)`` is a free view.  Returned by
+    ``forward(..., level0_packed=True)`` so layout-flexible consumers
+    (the evaluate graph's separable FOV resample) skip the ~5 ms
+    lane-padded canonical materialization of a (D,H,W,4) tensor."""
+
+    y2: jnp.ndarray  # (D*H*nb, bx*out_c) float32
+    dims: tuple  # (D, H, W, C_in) of the head input
+    out_c: int
+
+
 def forward_packed(
-    spec, params, x, compute_dtype=jnp.bfloat16, *, train=False, remat=False
+    spec, params, x, compute_dtype=jnp.bfloat16, *, train=False, remat=False,
+    level0_packed=False,
 ):
     """Forward in the packed dataflow.  ``x``: (1, D, H, W, Cin).
     Returns the deep-supervision logits list (level 0 full-res, float32),
     numerically matching ``forward()`` / unet.cpp:168-193.  Fully
     differentiable (the packed primitives carry hand-written VJPs);
-    ``remat=True`` checkpoints each level."""
+    ``remat=True`` checkpoints each level.  ``level0_packed=True``
+    returns ``results[0]`` as a PackedHead when the head shape allows."""
     import contextlib
 
     x = x.astype(compute_dtype)
@@ -880,8 +899,31 @@ def forward_packed(
             skips[level] = None
             x = seq(f"decode{level}", spec.decoders[level], x)
             if spec.heads[level]:
-                r = seq(f"output{level}", spec.heads[level], x)
-                results[level] = _ensure5(r).astype(jnp.float32)
+                hl = spec.heads[level]
+                if (
+                    level == 0
+                    and level0_packed
+                    and isinstance(x, _PK)
+                    and len(hl) == 1
+                    and hl[0].kind == "conv"
+                    and hl[0].ks == 1
+                    and hl[0].stride == 1
+                    and hl[0].act is None
+                ):
+                    from ..ops import packed as P_
+
+                    y2 = P_.head_conv_packed_raw(
+                        x.x3,
+                        params["output0.0.w"],
+                        params["output0.0.b"],
+                        x.dims,
+                    )
+                    results[0] = PackedHead(
+                        y2.astype(jnp.float32), x.dims, hl[0].out_c
+                    )
+                else:
+                    r = seq(f"output{level}", hl, x)
+                    results[level] = _ensure5(r).astype(jnp.float32)
             if spec.tails[level]:
                 x = seq(f"decode_tail{level}", spec.tails[level], x)
     return results
@@ -901,6 +943,7 @@ def forward(
     state: dict | None = None,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    level0_packed: bool = False,
 ):
     """Run the U-Net.  ``x``: (N, D, H, W, in_count).
 
@@ -908,6 +951,10 @@ def forward(
     logits list (level 0 = full resolution, float32), matching
     unet.cpp:168-193.  new_state carries updated BatchNorm statistics when
     training (empty dict otherwise).
+
+    ``level0_packed=True`` (evaluate engine only): when the packed route
+    runs AND the level-0 head is a plain ks1 conv, ``results[0]`` is a
+    ``PackedHead`` instead of a 5D tensor — the caller must handle both.
     """
     state = state or {}
     x = x.astype(compute_dtype)
@@ -924,6 +971,7 @@ def forward(
                 forward_packed(
                     spec, params, x, compute_dtype,
                     train=train, remat=remat and train,
+                    level0_packed=level0_packed,
                 ),
                 {},
             )

@@ -499,11 +499,14 @@ def _in_packed_bwd(c, eps, res, g3):
 instance_norm_packed.defvjp(_in_packed_fwd, _in_packed_bwd)
 
 
-def head_conv_packed(x3, w, b, dims):
+def head_conv_packed_raw(x3, w, b, dims):
     """ks1 output head C->out on the packed form: one (R, 128) @
-    (128, bx*out) matmul against a block-diagonal weight (keeps the
-    full-lane layout — a (V, C) view would re-create the padded layout),
-    then a free reshape to canonical 5D (1, D, H, W, out)."""
+    (128, bx*out) matmul against a block-diagonal weight.  Returns the
+    RAW (R, bx*out) matmul result — lanes ordered (x-position, class),
+    so ``reshape(d, h, nb, bx, out)`` is a free view.  Consumers that
+    can work in this layout (the evaluate graph's separable FOV
+    resample) avoid the lane-padded canonical-(…,out) materialization,
+    which costs ~5 ms at the flagship grid (measured)."""
     d, h, wd, ci = dims
     out = w.shape[-1]
     bx = _LANE // ci
@@ -511,12 +514,19 @@ def head_conv_packed(x3, w, b, dims):
     blk = jnp.zeros((_LANE, bx * out), wd2.dtype)
     for p in range(bx):
         blk = blk.at[p * ci : (p + 1) * ci, p * out : (p + 1) * out].set(wd2)
-    y = jnp.dot(
+    return jnp.dot(
         x3.reshape(-1, _LANE),
         blk.astype(x3.dtype),
         precision=_mm_precision(x3.dtype),
         preferred_element_type=x3.dtype,
     ) + jnp.tile(b, bx).astype(x3.dtype)
+
+
+def head_conv_packed(x3, w, b, dims):
+    """ks1 head as above, reshaped to canonical 5D (1, D, H, W, out)."""
+    d, h, wd, ci = dims
+    out = w.shape[-1]
+    y = head_conv_packed_raw(x3, w, b, dims)
     return y.reshape(1, d, h, wd, out)
 
 
