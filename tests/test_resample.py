@@ -163,6 +163,38 @@ def test_supercell_shape_gate():
     assert not supercell_warp_shape_ok((4, 224, 192))
 
 
+def test_supercell_warp_kernel_matches_xla_tail(rng, monkeypatch):
+    """The Pallas extract+combine tail (ops/pallas_warp.py) must match
+    the XLA staged-contraction fallback (UNET_TPU_NO_WARP_KERNEL=1):
+    image to 1-2 ulp (reduction-order rounding only), majority label
+    exactly.  The N-pad path is exercised too (N = 6*7*8 = 336 blocks,
+    not a multiple of the 512-lane tile)."""
+    img = rng.random((12, 14, 16)).astype(np.float32) * 2.5
+    lab = ((rng.random((12, 14, 16)) * 6).astype(np.float32)) // 1
+    m = affine_matrix(
+        translation=(1.2, -0.7, 0.4),
+        rotation=(0.1, -0.15, 0.2),
+        scaling=(1.1, 0.9, 1.05),
+        shape_dhw=(12, 14, 16),
+    )
+    grid = meshgrid_xyz((12, 14, 16))
+    coords = apply_affine(grid + 0.7 * jnp.sin(grid * 0.4), m)
+    monkeypatch.setenv("UNET_TPU_FORCE_PACKED", "1")  # kernel on, off-TPU
+    ki, kl = sample_warp_image_label_supercell(
+        jnp.asarray(img), jnp.asarray(lab), coords
+    )
+    monkeypatch.setenv("UNET_TPU_NO_WARP_KERNEL", "1")
+    xi, xl = sample_warp_image_label_supercell(
+        jnp.asarray(img), jnp.asarray(lab), coords
+    )
+    # image: 1-2 ulp — XLA's sum() reduces pairwise, the kernel
+    # accumulates sequentially; same math, different rounding order
+    np.testing.assert_allclose(
+        np.asarray(ki), np.asarray(xi), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(kl), np.asarray(xl))
+
+
 def test_supercell_linear_sampler_matches_sample_linear(rng):
     from unet_studio_tpu.ops.resample import SupercellLinearSampler
 

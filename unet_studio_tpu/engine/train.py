@@ -193,6 +193,7 @@ def build_train_step(
     from jax import shard_map
 
     from ..models.unet3d import packed_route_active
+    from ..ops.resample import warp_kernel_active
 
     sharded = shard_map(
         device_step,
@@ -202,9 +203,11 @@ def build_train_step(
         ),
         out_specs=(P(), P(), P()),
         # pallas_call outputs carry no vma annotation, so the machine check
-        # must be waived when the packed kernels may trace; the XLA route
-        # keeps it ON (one configuration stays machine-verified)
-        check_vma=not packed_route_active(),
+        # must be waived when ANY pallas kernel may trace (packed convs OR
+        # the augmentation warp tail — e.g. bench's conv-fallback route on
+        # TPU still warps through the kernel); the pure-XLA route keeps it
+        # ON (one configuration stays machine-verified)
+        check_vma=not (packed_route_active() or warp_kernel_active()),
     )
     # NOTE: no donate_argnums — buffer donation triggers per-call
     # recompilation on the remote-compile (axon) backend (measured 60x

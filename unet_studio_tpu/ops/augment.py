@@ -48,6 +48,7 @@ import numpy as np
 from .perlin import perlin_octaves
 from .resample import (
     SupercellLinearSampler,
+    _supercell_geometry,
     affine_matrix,
     meshgrid_xyz,
     sample_linear,
@@ -456,12 +457,18 @@ def visual_perception_augmentation(
     # transactions 8x (one row per 2x2x2 output block)
     if is_label:
         use_sc_warp = _supercell_warp_ok(opt, shape_dhw)
-        warp_fn = (
-            sample_warp_image_label_supercell
-            if use_sc_warp
-            else sample_warp_image_label
-        )
-        ch0, out_label = warp_fn(image[..., 0], label, coords)
+        if use_sc_warp:
+            # geometry depends only on coords + volume shape: compute it
+            # once and share it across the packed warp and any extra
+            # per-channel samplers (it is ~20% of the supercell cost)
+            anchors = (d // 2, h // 2, w // 2)
+            geom = _supercell_geometry(coords, shape_dhw, anchors)
+            ch0, out_label = sample_warp_image_label_supercell(
+                image[..., 0], label, coords, geometry=geom
+            )
+        else:
+            geom = None
+            ch0, out_label = sample_warp_image_label(image[..., 0], label, coords)
         if image.shape[-1] == 1:
             out_image = ch0[..., None]
         elif use_sc_warp and image.shape[-1] <= 2:
@@ -471,7 +478,9 @@ def visual_perception_augmentation(
             # corner-cell gather to bound transient HBM
             rest = jnp.stack(
                 [
-                    SupercellLinearSampler(image[..., c]).sample(coords)
+                    SupercellLinearSampler(image[..., c]).sample(
+                        coords, geometry=geom
+                    )
                     for c in range(1, image.shape[-1])
                 ],
                 axis=-1,
@@ -483,9 +492,14 @@ def visual_perception_augmentation(
     elif image.shape[-1] == 1 and _supercell_warp_ok(opt, shape_dhw):
         # subject mode warps image AND (continuous) label linearly through
         # the same field: two supercell samplers cut the gather
-        # transactions 8x each (both exact under the same option gate)
-        out_image = SupercellLinearSampler(image[..., 0]).sample(coords)[..., None]
-        out_label = SupercellLinearSampler(label).sample(coords)
+        # transactions 8x each (both exact under the same option gate),
+        # sharing one geometry pass
+        anchors = (d // 2, h // 2, w // 2)
+        geom = _supercell_geometry(coords, shape_dhw, anchors)
+        out_image = SupercellLinearSampler(image[..., 0]).sample(
+            coords, geometry=geom
+        )[..., None]
+        out_label = SupercellLinearSampler(label).sample(coords, geometry=geom)
     else:
         out_image = sample_linear(image, coords)
         out_label = sample_linear(label, coords)

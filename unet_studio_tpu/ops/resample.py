@@ -15,6 +15,8 @@ zero initialization).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -291,11 +293,15 @@ def _unblockify(arr: jnp.ndarray, shape_dhw) -> jnp.ndarray:
 def _extract_corners(g: jnp.ndarray, oz, oy, ox):
     """Per-voxel 8-corner extraction from supercell rows WITHOUT a
     per-voxel gather (which would be transaction-bound again): staged
-    one-hot contractions, written as unrolled slice-FMA sums so they
-    lower to plain fused elementwise ops on every backend (a batched
-    1M x (36x6)x(6x16) dot_general risks a pathological tiny-matmul
-    lowering on TPU).  g (N,6,6,6); o* (N,8) int32 in [0,4].  Returns
-    (N,8,8) corner values, minor order c = tz*4 + ty*2 + tx."""
+    one-hot contractions, each written as ONE broadcast-multiply +
+    sum(axis) so XLA fuses the whole stage into a single reduce kernel.
+    (Measured on chip at the flagship grid: unrolled per-tap slice-FMA
+    sums materialize every partial add — 42.8 ms; an N-minor relayout
+    is no better — 50.0 ms; this mul-reduce form is 28.2 ms.  A batched
+    1M x (36x6)x(6x16) dot_general is still avoided: tiny-matmul MXU
+    lowerings pad each operand tile to 128x128.)
+    g (N,6,6,6); o* (N,8) int32 in [0,4].  Returns (N,8,8) corner
+    values, minor order c = tz*4 + ty*2 + tx."""
     i6 = jnp.arange(_SC_L, dtype=jnp.int32)
     t2 = jnp.arange(2, dtype=jnp.int32)
 
@@ -305,18 +311,12 @@ def _extract_corners(g: jnp.ndarray, oz, oy, ox):
         ).astype(g.dtype)
 
     wx, wy, wz = onehot(ox), onehot(oy), onehot(oz)
-    u = sum(
-        g[:, None, None, :, :, i] * wx[:, :, :, None, None, i]
-        for i in range(_SC_L)
-    )  # (N, v8, tx2, z6, y6)
-    u = sum(
-        u[:, :, :, None, :, i] * wy[:, :, None, :, None, i]
-        for i in range(_SC_L)
-    )  # (N, v8, tx2, ty2, z6)
-    u = sum(
-        u[:, :, :, :, None, i] * wz[:, :, None, None, :, i]
-        for i in range(_SC_L)
-    )  # (N, v8, tx2, ty2, tz2)
+    # (N, v8, tx2, z6, y6) <- contract x
+    u = (g[:, None, None, :, :, :] * wx[:, :, :, None, None, :]).sum(-1)
+    # (N, v8, tx2, ty2, z6) <- contract y
+    u = (u[:, :, :, None, :, :] * wy[:, :, None, :, None, :]).sum(-1)
+    # (N, v8, tx2, ty2, tz2) <- contract z
+    u = (u[:, :, :, :, None, :] * wz[:, :, None, None, :, :]).sum(-1)
     return u.transpose(0, 1, 4, 3, 2).reshape(g.shape[0], 8, 8)
 
 
@@ -331,11 +331,18 @@ def _supercell_geometry(coords: jnp.ndarray, shape_dhw, anchors):
     clipped into the window, fracs (fz,fy,fx) each (N,8), valid (N,8)).
     The anchor choice is the largest even base <= min(floor) whose
     window still covers max(floor)+1, mid-balanced when both constraints
-    allow slack, clipped into the anchor grid."""
+    allow slack, clipped into the anchor grid.
+
+    Every elementwise op runs in full-volume (D,H,W) layout (W minor =
+    full vector lanes); the per-block min/max is three staged stride-2
+    pair reductions and only the final outputs are blockified.  The
+    blockify-first form kept minor-8 shapes throughout — measured 4x
+    slower on chip (22.1 vs 5.6 ms at the flagship grid)."""
     d, h, w = shape_dhw
     az_n, ay_n, ax_n = anchors
-    cb = _blockify(coords)  # (N, 8, 3)
-    x, y, z = cb[..., 0], cb[..., 1], cb[..., 2]
+    x = coords[..., 0]
+    y = coords[..., 1]
+    z = coords[..., 2]
     valid = (
         (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1) & (z >= 0) & (z <= d - 1)
     )
@@ -343,23 +350,59 @@ def _supercell_geometry(coords: jnp.ndarray, shape_dhw, anchors):
     y0 = jnp.floor(y).astype(jnp.int32)
     z0 = jnp.floor(z).astype(jnp.int32)
 
+    def block_reduce(a, op):  # (D,H,W) -> (D/2,H/2,W/2)
+        a = op(a[0::2], a[1::2])
+        a = op(a[:, 0::2], a[:, 1::2])
+        return op(a[:, :, 0::2], a[:, :, 1::2])
+
     def anchor(f0, n):
-        mn = jnp.min(f0, axis=1)
-        mx = jnp.max(f0, axis=1)
+        mn = block_reduce(f0, jnp.minimum)
+        mx = block_reduce(f0, jnp.maximum)
         return jnp.clip((mn + mx - 2) // 4, 0, n - 1)
 
     az = anchor(z0, az_n)
     ay = anchor(y0, ay_n)
     ax = anchor(x0, ax_n)
-    row_idx = (az * ay_n + ay) * ax_n + ax
-    oz = jnp.clip(z0 - 2 * az[:, None], 0, _SC_L - 2)
-    oy = jnp.clip(y0 - 2 * ay[:, None], 0, _SC_L - 2)
-    ox = jnp.clip(x0 - 2 * ax[:, None], 0, _SC_L - 2)
-    return row_idx, (oz, oy, ox), (z - z0, y - y0, x - x0), valid
+    row_idx = ((az * ay_n + ay) * ax_n + ax).reshape(-1)
+
+    def up(a):  # (D/2,H/2,W/2) -> (D,H,W)
+        a = jnp.repeat(a, 2, axis=0)
+        a = jnp.repeat(a, 2, axis=1)
+        return jnp.repeat(a, 2, axis=2)
+
+    oz = jnp.clip(z0 - 2 * up(az), 0, _SC_L - 2)
+    oy = jnp.clip(y0 - 2 * up(ay), 0, _SC_L - 2)
+    ox = jnp.clip(x0 - 2 * up(ax), 0, _SC_L - 2)
+    return (
+        row_idx,
+        (_blockify(oz), _blockify(oy), _blockify(ox)),
+        (_blockify(z - z0), _blockify(y - y0), _blockify(x - x0)),
+        _blockify(valid),
+    )
+
+
+def warp_kernel_active() -> bool:
+    """Route the supercell tail through the Pallas kernel
+    (ops/pallas_warp.py) only where its pallas_call can actually trace:
+    on TPU, or off-TPU in interpret mode when the packed route is forced
+    (UNET_TPU_FORCE_PACKED=1, the CPU-suite hook).  The plain CPU/XLA
+    route keeps the staged-contraction tail below — pallas_call outputs
+    carry no vma annotation, so tracing the kernel inside the training
+    step's shard_map would break its check_vma=True machine check (the
+    check stays ON for the pure-XLA configuration, engine/train.py).
+    UNET_TPU_NO_WARP_KERNEL=1 restores the XLA tail everywhere
+    (fallback + A/B control)."""
+    if os.environ.get("UNET_TPU_NO_WARP_KERNEL"):
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        or os.environ.get("UNET_TPU_FORCE_PACKED", "") == "1"
+    )
 
 
 def sample_warp_image_label_supercell(
-    image0: jnp.ndarray, label: jnp.ndarray, coords: jnp.ndarray
+    image0: jnp.ndarray, label: jnp.ndarray, coords: jnp.ndarray,
+    geometry=None,
 ):
     """Fused image+label warp with 1/8 the gather transactions.
 
@@ -385,13 +428,24 @@ def sample_warp_image_label_supercell(
     packed, peak = _pack_image_label(image0, label)
     table, anchors = _supercell_table(packed)
 
-    row_idx, (oz, oy, ox), (fz, fy, fx), valid = _supercell_geometry(
-        coords, (d, h, w), anchors
-    )
-    g = table[row_idx].reshape(-1, _SC_L, _SC_L, _SC_L)
-    nbr = _extract_corners(g, oz, oy, ox)  # (N, 8, 8)
+    if geometry is None:
+        geometry = _supercell_geometry(coords, (d, h, w), anchors)
+    row_idx, (oz, oy, ox), (fz, fy, fx), valid = geometry
+    rows = table[row_idx]  # (N, 216)
 
-    img, lab = _combine_packed_corners(nbr, fx, fy, fz, valid, peak)
+    if warp_kernel_active():
+        # Pallas tail: extraction + blend + majority per VMEM tile — no
+        # HBM intermediates (the XLA stages below move ~GBs; see
+        # ops/pallas_warp.py).  Exact same math.
+        from .pallas_warp import extract_combine_packed
+
+        img, lab = extract_combine_packed(
+            rows, oz, oy, ox, fz, fy, fx, valid, peak
+        )
+    else:
+        g = rows.reshape(-1, _SC_L, _SC_L, _SC_L)
+        nbr = _extract_corners(g, oz, oy, ox)  # (N, 8, 8)
+        img, lab = _combine_packed_corners(nbr, fx, fy, fz, valid, peak)
     return _unblockify(img, (d, h, w)), _unblockify(lab, (d, h, w))
 
 
@@ -412,13 +466,16 @@ class SupercellLinearSampler:
         self.shape = vol.shape
         self.table, self.anchors = _supercell_table(vol)
 
-    def sample(self, coords: jnp.ndarray) -> jnp.ndarray:
+    def sample(self, coords: jnp.ndarray, geometry=None) -> jnp.ndarray:
         """coords: (Do,Ho,Wo,3) (x,y,z) positions in the table volume's
-        voxel space; Do/Ho/Wo even.  Returns (Do,Ho,Wo)."""
+        voxel space; Do/Ho/Wo even.  Returns (Do,Ho,Wo).  Pass a
+        precomputed ``geometry`` (``_supercell_geometry`` of the same
+        coords/shape) to amortize it across samplers of one volume
+        shape — it only depends on coords and the table shape."""
         out_shape = coords.shape[:3]
-        row_idx, (oz, oy, ox), (fz, fy, fx), valid = _supercell_geometry(
-            coords, self.shape, self.anchors
-        )
+        if geometry is None:
+            geometry = _supercell_geometry(coords, self.shape, self.anchors)
+        row_idx, (oz, oy, ox), (fz, fy, fx), valid = geometry
         g = self.table[row_idx].reshape(-1, _SC_L, _SC_L, _SC_L)
 
         i6 = jnp.arange(_SC_L, dtype=jnp.int32)
@@ -431,12 +488,11 @@ class SupercellLinearSampler:
         hx = hat(ox, fx)
         hy = hat(oy, fy)
         hz = hat(oz, fz)
-        # unrolled slice-FMA contractions (see _extract_corners note)
-        u = sum(
-            g[:, None, :, :, i] * hx[:, :, None, None, i] for i in range(_SC_L)
-        )  # (N, v8, z6, y6)
-        u = sum(u[:, :, :, i] * hy[:, :, None, i] for i in range(_SC_L))
-        u = sum(u[:, :, i] * hz[:, :, i] for i in range(_SC_L))  # (N, v8)
+        # one mul-reduce per axis (see _extract_corners note)
+        u = (g[:, None, :, :, :] * hx[:, :, None, None, :]).sum(-1)
+        # (N, v8, z6, y6)
+        u = (u * hy[:, :, None, :]).sum(-1)  # (N, v8, z6)
+        u = (u * hz).sum(-1)  # (N, v8)
         return _unblockify(u * valid.astype(u.dtype), out_shape)
 
 
