@@ -6,6 +6,11 @@
            of the loss-VALUE (aux) side is separable from the grads
 
 Slope between k and 3k chained steps; the one D2H sync cancels.
+
+TPU-ONLY: the jax.random.split/fold_in key staging below is device work
+at import time — during an axon pool outage this hangs ~25 min before
+raising.  For CPU experiments run with the usual empty
+PALLAS_AXON_POOL_IPS= / JAX_PLATFORMS=cpu prefix instead.
 """
 import sys, time
 sys.path.insert(0, "/root/repo")

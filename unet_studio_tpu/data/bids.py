@@ -137,14 +137,47 @@ class TrainingDataset:
         return pool[int(rng.integers(0, len(pool)))]
 
 
+_GEOMETRIC_PREPROC = (
+    "flip_x", "flip_y", "flip_z", "swap_xy", "swap_yz", "swap_xz",
+    "upsampling", "downsampling",
+)
+
+
+def _apply_preproc_pair(data, ldata, preproc: str):
+    """Apply a model's preproc chain to a native-grid (image, label) pair
+    BEFORE the model-grid resample — the same per-volume operations the
+    evaluate engine applies to its inputs (engine/evaluate.py preprocess;
+    evaluate.cpp:5-17 vocabulary).  Geometric ops transform BOTH volumes
+    (the label must stay aligned); intensity ops transform the image only.
+    Label downsampling is nearest (a mean over labels is meaningless)."""
+    from ..engine.evaluate import run_preproc_op
+
+    for op in filter(None, preproc.split("+")):
+        data = run_preproc_op(data, op)
+        if op in _GEOMETRIC_PREPROC:
+            if op == "downsampling":
+                d, h, w = (s // 2 * 2 for s in ldata.shape)
+                ldata = np.ascontiguousarray(ldata[:d:2, :h:2, :w:2])
+            else:
+                ldata = run_preproc_op(ldata, op)
+    return data, ldata
+
+
 def load_pair_on_model_grid(
     image_path: str,
     label_path: str,
     model_dim_xyz,
     model_vs,
+    preproc: str = "",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side load of one (image, label) pair resampled onto the model
     grid with align-top FOV (read_image_and_label, train.cpp:13-40).
+
+    ``preproc``: optional '+'-joined preproc chain applied to the native
+    volumes first (QC on preproc-bearing models routes through the same
+    operations as evaluation).  As in the evaluate engine, the voxel size
+    is NOT rescaled by up/downsampling ops (engine/evaluate.py preprocess
+    keeps ``image_vs`` at the native value).
 
     Returns (image (D,H,W) normalized to [0,1], label (D,H,W) float32,
     majority-resampled).  Uses the jitted device resampler.
@@ -166,6 +199,8 @@ def load_pair_on_model_grid(
             f"label grid {ldata.shape} != image grid {data.shape} "
             f"({label_path} vs {image_path})"
         )
+    if preproc:
+        data, ldata = _apply_preproc_pair(data, ldata, preproc)
     out_img = np.array(
         resample_to_model_grid(jnp.asarray(data), img.voxel_size, model_dim_xyz, model_vs)
     )

@@ -679,20 +679,62 @@ def _run_sequential(params, state, mod_name, layers, x, train: bool):
 
 class _PK:
     """Packed-domain carrier: flat volume + its logical (D,H,W,C).
-    Registered as a pytree so jax.checkpoint/grad thread through it."""
+    Registered as a pytree so jax.checkpoint/grad thread through it.
 
-    __slots__ = ("x3", "dims")
+    Inference norm-fusion state (round-4 verdict item 3):
+    * ``pa``/``pb``/``pact``: a PENDING per-lane affine + activation
+      (the deferred instance-norm) — ``x3`` is the raw conv output and
+      the true tensor value is ``act(x3*pa + pb)``.  Consumers that can
+      apply it on load (the packed conv kernels' prologue) do so for
+      free; everything else materializes first (exact fallback).
+    * ``st``: lane-wise (sum, sumsq) of ``x3`` from the producing
+      kernel's epilogue — the NEXT norm's statistics without a volume
+      read.  ``st`` and ``pa`` are never both set.
+    """
 
-    def __init__(self, x3, dims):
+    __slots__ = ("x3", "dims", "pa", "pb", "pact", "st")
+
+    def __init__(self, x3, dims, pa=None, pb=None, pact=None, st=None):
         self.x3 = x3
         self.dims = dims
+        self.pa = pa
+        self.pb = pb
+        self.pact = pact
+        self.st = st
 
 
 jax.tree_util.register_pytree_node(
     _PK,
-    lambda pk: ((pk.x3,), pk.dims),
-    lambda dims, xs: _PK(xs[0], dims),
+    lambda pk: ((pk.x3, pk.pa, pk.pb, pk.st), (pk.dims, pk.pact)),
+    lambda aux, xs: _PK(xs[0], aux[0], xs[1], xs[2], aux[1], xs[3]),
 )
+
+
+_PRO_ACTS = (None, "relu", "leaky_relu")  # in-kernel prologue activations
+
+
+def norm_fusion_enabled() -> bool:
+    """Inference-only deferred-norm fusion (conv epilogue stats + next
+    kernel's load-affine).  UNET_TPU_NO_NORM_FUSION=1 restores the
+    separate instance_norm_packed passes (A/B + fallback)."""
+    return os.environ.get("UNET_TPU_NO_NORM_FUSION", "") != "1"
+
+
+def _pk_materialize(x):
+    """Apply a _PK's pending affine+act (one XLA elementwise pass) —
+    exactly what instance_norm_packed + _act would have produced."""
+    if isinstance(x, _PK) and x.pa is not None:
+        y = x.x3 * x.pa.astype(x.x3.dtype) + x.pb.astype(x.x3.dtype)
+        y = _act(y, x.pact)
+        return _PK(y, x.dims)
+    return x
+
+
+def _pk_prologue(x):
+    """(pa, pb, pact) for a kernel load-affine, or None."""
+    if isinstance(x, _PK) and x.pa is not None:
+        return (x.pa, x.pb, x.pact)
+    return None
 
 
 def _pk_able(dims) -> bool:
@@ -707,6 +749,7 @@ def _pk_able(dims) -> bool:
 
 def _ensure5(x):
     if isinstance(x, _PK):
+        x = _pk_materialize(x)
         d, h, w, c = x.dims
         return x.x3.reshape(1, d, h, w, c)
     return x
@@ -725,11 +768,21 @@ def _maybe_pack(x):
     return x
 
 
-def _run_level_packed(params, mod_name, layers, x):
+def _run_level_packed(params, mod_name, layers, x, fuse=False):
     """Inference-only analog of _run_sequential operating in the packed
     domain where possible.  ``x``: _PK, a 5D tensor, or a (skip, up)
-    tuple at a decoder entry."""
+    tuple at a decoder entry.
+
+    ``fuse=True`` (inference + norm_fusion_enabled): instance norms are
+    DEFERRED — a norm layer only folds its statistics (taken from the
+    producing conv's epilogue when available) into a pending per-lane
+    affine that the next packed kernel applies on load.  Any consumer
+    that can't (XLA fallback, pools, 5D unpack) materializes the affine
+    first, so the value semantics are exactly the unfused path's."""
     from ..ops import packed as P_, pallas_conv as PC
+
+    def next_is_norm(i):
+        return fuse and i + 1 < len(layers) and layers[i + 1].kind == "norm"
 
     for i, layer in enumerate(layers):
         w = params.get(f"{mod_name}.{i}.w")
@@ -749,14 +802,35 @@ def _run_level_packed(params, mod_name, layers, x):
                 and PC.supported(a.dims[3], a.dims[3], *a.dims[:3])
             ):
                 ca = a.dims[3]
-                y3 = PC.conv_s1_p(a.x3, w[:, :, :, :ca, :], b, a.dims)
-                y3 = y3 + PC.conv_s1_p(
-                    bp.x3, w[:, :, :, ca:, :], jnp.zeros_like(b), bp.dims
-                )
-                x = _PK(_act(y3, layer.act), a.dims)
+                if fuse:
+                    # each half's pending norm rides its own conv's load
+                    # prologue; stats of the SUM come from one lane read
+                    if a.pact not in _PRO_ACTS:
+                        a = _pk_materialize(a)
+                    if bp.pact not in _PRO_ACTS:
+                        bp = _pk_materialize(bp)
+                    y3 = PC.conv_s1_packed(
+                        a.x3, w[:, :, :, :ca, :], b, a.dims,
+                        prologue=_pk_prologue(a),
+                    )
+                    y3 = y3 + PC.conv_s1_packed(
+                        bp.x3, w[:, :, :, ca:, :], jnp.zeros_like(b), bp.dims,
+                        prologue=_pk_prologue(bp),
+                    )
+                    y3 = _act(y3, layer.act)
+                    st = P_.lane_sum_sq(y3) if next_is_norm(i) else None
+                    x = _PK(y3, a.dims, st=st)
+                else:
+                    y3 = PC.conv_s1_p(a.x3, w[:, :, :, :ca, :], b, a.dims)
+                    y3 = y3 + PC.conv_s1_p(
+                        bp.x3, w[:, :, :, ca:, :], jnp.zeros_like(b), bp.dims
+                    )
+                    x = _PK(_act(y3, layer.act), a.dims)
                 continue
             x = jnp.concatenate([_ensure5(a), _ensure5(bp)], axis=-1)
         x = _maybe_pack(x)
+        if isinstance(x, _PK) and x.pact not in _PRO_ACTS:
+            x = _pk_materialize(x)  # elu etc: no in-kernel prologue
         if layer.kind == "conv":
             ci, co = w.shape[3], w.shape[4]
             if (
@@ -772,7 +846,19 @@ def _run_level_packed(params, mod_name, layers, x):
                 # XLA conv below instead.
                 and PC.supported(ci, co, *x.dims[:3])
             ):
-                x = _PK(PC.conv_s1_p(x.x3, w, b, x.dims), x.dims)
+                if fuse:
+                    out = PC.conv_s1_packed(
+                        x.x3, w, b, x.dims,
+                        prologue=_pk_prologue(x),
+                        want_stats=next_is_norm(i) and not layer.act,
+                    )
+                    if next_is_norm(i) and not layer.act:
+                        y3, st = out
+                        x = _PK(y3, x.dims, st=st)
+                    else:
+                        x = _PK(out, x.dims)
+                else:
+                    x = _PK(PC.conv_s1_p(x.x3, w, b, x.dims), x.dims)
             elif (
                 isinstance(x, _PK)
                 and layer.ks == 3
@@ -781,12 +867,24 @@ def _run_level_packed(params, mod_name, layers, x):
                 and ci == x.dims[3]
             ):
                 d, h, wd, _ = x.dims
-                x = _PK(
-                    P_.conv_s2_p(x.x3, w, b, x.dims),
-                    (d // 2, h // 2, wd // 2, co),
-                )
+                odims = (d // 2, h // 2, wd // 2, co)
+                if fuse:
+                    out = P_.conv_s2_down(
+                        x.x3, w, b, x.dims,
+                        prologue=_pk_prologue(x),
+                        want_stats=next_is_norm(i) and not layer.act,
+                    )
+                    if next_is_norm(i) and not layer.act:
+                        y3, st = out
+                        x = _PK(y3, odims, st=st)
+                    else:
+                        x = _PK(out, odims)
+                else:
+                    x = _PK(P_.conv_s2_p(x.x3, w, b, x.dims), odims)
             elif isinstance(x, _PK) and layer.ks == 1 and layer.stride == 1:
-                x = P_.head_conv_packed(x.x3, w, b, x.dims)
+                x = P_.head_conv_packed(
+                    x.x3, w, b, x.dims, prologue=_pk_prologue(x)
+                )
             elif (
                 not isinstance(x, _PK)
                 and layer.ks == 3
@@ -796,7 +894,20 @@ def _run_level_packed(params, mod_name, layers, x):
                 and P_.entry_supported(1, co, *x.shape[1:4])
             ):
                 d, h, wd = x.shape[1:4]
-                x = _PK(P_.conv_entry_p(x, w, b, (d, h, wd, 1)), (d, h, wd, co))
+                if fuse:
+                    out = P_.conv_entry(
+                        x, w, b, (d, h, wd, 1),
+                        want_stats=next_is_norm(i) and not layer.act,
+                    )
+                    if next_is_norm(i) and not layer.act:
+                        y3, st = out
+                        x = _PK(y3, (d, h, wd, co), st=st)
+                    else:
+                        x = _PK(out, (d, h, wd, co))
+                else:
+                    x = _PK(
+                        P_.conv_entry_p(x, w, b, (d, h, wd, 1)), (d, h, wd, co)
+                    )
             else:
                 x = _conv(_ensure5(x), w, b, layer.stride, layer.ks)
         elif layer.kind == "conv_trans":
@@ -804,10 +915,16 @@ def _run_level_packed(params, mod_name, layers, x):
                 x.dims[3], w.shape[4], *x.dims[:3]
             ):
                 d, h, wd, ci = x.dims
-                x = _PK(
-                    P_.conv_trans2x_p(x.x3, w, b, x.dims),
-                    (2 * d, 2 * h, 2 * wd, w.shape[4]),
-                )
+                odims = (2 * d, 2 * h, 2 * wd, w.shape[4])
+                if fuse:
+                    x = _PK(
+                        P_.conv_trans2x_up(
+                            x.x3, w, b, x.dims, prologue=_pk_prologue(x)
+                        ),
+                        odims,
+                    )
+                else:
+                    x = _PK(P_.conv_trans2x_p(x.x3, w, b, x.dims), odims)
             else:
                 x = _conv_trans2x(_ensure5(x), w, b)
         elif layer.kind == "max_pool":
@@ -815,7 +932,23 @@ def _run_level_packed(params, mod_name, layers, x):
         elif layer.kind == "upsample":
             x = _upsample2(_ensure5(x))
         elif layer.kind == "norm":
-            if isinstance(x, _PK):
+            if isinstance(x, _PK) and fuse:
+                c = x.dims[3]
+                n_vox = x.dims[0] * x.dims[1] * x.dims[2]
+                if x.st is not None:
+                    st = x.st
+                else:
+                    x = _pk_materialize(x)
+                    st = P_.lane_sum_sq(x.x3)
+                pa, pb = P_.norm_affine_from_stats(
+                    st,
+                    params[f"{mod_name}.{i}.w"],
+                    params[f"{mod_name}.{i}.b"],
+                    c,
+                    n_vox,
+                )
+                x = _PK(x.x3, x.dims, pa=pa, pb=pb)
+            elif isinstance(x, _PK):
                 x = _PK(
                     P_.instance_norm_packed(
                         x.x3,
@@ -833,7 +966,16 @@ def _run_level_packed(params, mod_name, layers, x):
             raise _PackedUnsupported
         if layer.act:
             if isinstance(x, _PK):
-                x = _PK(_act(x.x3, layer.act), x.dims)
+                if (
+                    fuse
+                    and x.pa is not None
+                    and x.pact is None
+                    and layer.act in ("relu", "leaky_relu")
+                ):
+                    x = _PK(x.x3, x.dims, pa=x.pa, pb=x.pb, pact=layer.act)
+                else:
+                    x = _pk_materialize(x)
+                    x = _PK(_act(x.x3, layer.act), x.dims)
             else:
                 x = _act(x, layer.act)
     return x
@@ -874,10 +1016,13 @@ def forward_packed(
 
     x = x.astype(compute_dtype)
     n_enc = len(spec.encoders)
+    # deferred-norm fusion: inference only (the training VJPs keep the
+    # separate instance_norm_packed custom-VJP passes)
+    fuse = (not train) and norm_fusion_enabled()
 
     def seq(mod_name, layers, x):
         def body(params, x):
-            return _run_level_packed(params, mod_name, layers, x)
+            return _run_level_packed(params, mod_name, layers, x, fuse=fuse)
 
         if remat:
             body = jax.checkpoint(body)
@@ -917,6 +1062,7 @@ def forward_packed(
                         params["output0.0.w"],
                         params["output0.0.b"],
                         x.dims,
+                        prologue=_pk_prologue(x),
                     )
                     results[0] = PackedHead(
                         y2.astype(jnp.float32), x.dims, hl[0].out_c

@@ -333,18 +333,31 @@ def _mm_precision(dtype):
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
+def _apply_prologue(slab, slot, pa_ref, pb_ref, pact, n_planes):
+    """Fused load-affine: y = act(a*x + b) per lane, applied IN PLACE to
+    the freshly DMA'd slab (f32 compute).  This is how a pending
+    instance-norm (+ its activation) from the PREVIOUS layer costs zero
+    HBM passes: the conv consumes the un-normalized tensor and applies
+    the (a, b) per-channel transform on load.  Out-of-volume pad rows
+    must stay ZERO afterwards (conv 'same' semantics pad with zeros of
+    the post-norm signal) — callers re-run the edge zero-fill after."""
+    a = pa_ref[0].astype(jnp.float32)
+    b = pb_ref[0].astype(jnp.float32)
+    for zi in range(n_planes):
+        v = slab[slot, zi].astype(jnp.float32) * a + b
+        if pact == "relu":
+            v = jnp.maximum(v, 0.0)
+        elif pact == "leaky_relu":
+            v = jnp.maximum(v, 0.01 * v)
+        slab[slot, zi] = v.astype(slab.dtype)
+
+
 def _fwd_kernel(
     mask_ref,
     bias_ref,
     w2c_ref,
     w2h_ref,
-    x_hbm,
-    o_ref,
-    slab,
-    oph,
-    hp,
-    sems,
-    *,
+    *rest,
     tz,
     th,
     nb,
@@ -353,7 +366,24 @@ def _fwd_kernel(
     n_tiles,
     groups,
     ci,
+    pact=None,
+    has_pro=False,
+    want_stats=False,
 ):
+    if has_pro:
+        pa_ref, pb_ref, x_hbm = rest[0], rest[1], rest[2]
+        rest = rest[3:]
+    else:
+        x_hbm = rest[0]
+        rest = rest[1:]
+    if want_stats:
+        o_ref, st_ref = rest[0], rest[1]
+        rest = rest[2:]
+    else:
+        o_ref = rest[0]
+        rest = rest[1:]
+    slab, oph, hp, sems = rest
+
     t = pl.program_id(0)
     slot = jax.lax.rem(t, 2)
     nxt = jax.lax.rem(t + 1, 2)
@@ -372,11 +402,17 @@ def _fwd_kernel(
             start=True,
         )
 
-    _zero_tile_edges(slab, slot, t, tz=tz, th=th, nb=nb, d=d, gy=gy)
+    if not has_pro:
+        _zero_tile_edges(slab, slot, t, tz=tz, th=th, nb=nb, d=d, gy=gy)
     _issue_tile_dmas(
         x_hbm, slab, sems, slot, t, tz=tz, th=th, nb=nb, d=d, gy=gy,
         start=False,
     )
+    if has_pro:
+        # transform the whole slab, then re-zero the pad regions (the
+        # affine would otherwise turn zero pads into act(b) != 0)
+        _apply_prologue(slab, slot, pa_ref, pb_ref, pact, tz + 2)
+        _zero_tile_edges(slab, slot, t, tz=tz, th=th, nb=nb, d=d, gy=gy)
 
     R = tz * th * nb
     rows = th * nb
@@ -404,39 +440,72 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
+    if want_stats:
+        # lane-wise first moments of the conv OUTPUT (the next norm's
+        # statistics) accumulated across the sequential grid — saves the
+        # norm's full-volume stats read
+        @pl.when(t == 0)
+        def _():
+            st_ref[:] = jnp.zeros_like(st_ref)
+
+        st_ref[0, :] += jnp.sum(acc, axis=0)
+        st_ref[1, :] += jnp.sum(acc * acc, axis=0)
     o_ref[:] = acc.reshape(tz, rows, _LANE).astype(o_ref.dtype)
 
 
 _UNPACKED_GROUPS = ((0,), (1,), (2,))
 
 
-def _make_fwd_call(d, h, nb, tz, th, dtype, groups=_UNPACKED_GROUPS, ci=0):
+def _make_fwd_call(
+    d, h, nb, tz, th, dtype, groups=_UNPACKED_GROUPS, ci=0,
+    *, pact=None, has_pro=False, want_stats=False,
+):
     """``groups``/``ci``: halo-packing layout (see _halo_groups); the
     default is the unpacked one-matmul-per-dz layout (used by the entry
-    conv's dx whose matrices are built in that layout)."""
+    conv's dx whose matrices are built in that layout).  ``has_pro``:
+    two extra (1,128) inputs (a, b) applied as act(a*x+b) on slab load;
+    ``want_stats``: extra (8,128) f32 output with rows 0/1 = lane sums /
+    sums-of-squares of the conv output."""
     gz, gy = d // tz, h // th
     n_tiles = gz * gy
     kern = partial(
         _fwd_kernel, tz=tz, th=th, nb=nb, d=d, gy=gy, n_tiles=n_tiles,
-        groups=groups, ci=ci,
+        groups=groups, ci=ci, pact=pact, has_pro=has_pro,
+        want_stats=want_stats,
     )
     srows = (th + 2) * nb
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # edge masks (2,rows,128)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, N)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 center (3,3,128,128)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 halo (3,g,128,128)
+    ]
+    if has_pro:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prologue a (1,128)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prologue b (1,128)
+        ]
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # x flat view
+    o_spec = pl.BlockSpec(
+        (tz, th * nb, _LANE),
+        lambda t: (t // gy, t % gy, 0),
+        memory_space=pltpu.VMEM,
+    )
+    o_shape = jax.ShapeDtypeStruct((d, h * nb, _LANE), dtype)
+    if want_stats:
+        out_specs = (
+            o_spec,
+            pl.BlockSpec((8, _LANE), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (o_shape, jax.ShapeDtypeStruct((8, _LANE), jnp.float32))
+    else:
+        out_specs, out_shape = o_spec, o_shape
     return pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # edge masks (2,rows,128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, N)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 center (3,3,128,128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 halo (3,g,128,128)
-            pl.BlockSpec(memory_space=pltpu.HBM),  # x flat view, unpadded
-        ],
-        out_specs=pl.BlockSpec(
-            (tz, th * nb, _LANE),
-            lambda t: (t // gy, t % gy, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((d, h * nb, _LANE), dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, tz + 2, srows, _LANE), dtype),
             pltpu.VMEM((tz + 2, th * nb, _LANE), dtype),
@@ -448,9 +517,14 @@ def _make_fwd_call(d, h, nb, tz, th, dtype, groups=_UNPACKED_GROUPS, ci=0):
     )
 
 
-def conv_s1_packed(x3, w, b, dims):
+def conv_s1_packed(x3, w, b, dims, *, prologue=None, want_stats=False):
     """Packed-form forward: x3 (D, H*nb, 128) -> (D, H*nb, 128).
-    No VJP — the training path uses conv3d_s1 below."""
+    No VJP — the training path uses conv3d_s1 below.
+
+    ``prologue``: optional (a_lane (128,), b_lane (128,), act) applied to
+    the INPUT on slab load (the previous layer's deferred instance-norm,
+    see unet3d.py _run_level_packed fusion); ``want_stats=True`` returns
+    (y, (sum_lane, sumsq_lane)) for the FOLLOWING norm's statistics."""
     d, h, wd, ci = dims
     if not supported(ci, ci, d, h, wd):
         # fail at TRACE time: at C=128 (bx=1) the combined halo matrix's
@@ -469,8 +543,23 @@ def conv_s1_packed(x3, w, b, dims):
     w2h = _build_w2_halo(w, bx, dtype)
     bias2 = jnp.tile(b.astype(jnp.float32), bx)[None]  # (1, N)
     masks = _edge_masks(th, nb, ci, dtype)
-    call = _make_fwd_call(d, h, nb, tz, th, dtype, _halo_groups(ci), ci)
-    return call(masks, bias2, w2c, w2h, x3)  # (d, h*nb, 128) row-major
+    pact = prologue[2] if prologue else None
+    call = _make_fwd_call(
+        d, h, nb, tz, th, dtype, _halo_groups(ci), ci,
+        pact=pact, has_pro=prologue is not None, want_stats=want_stats,
+    )
+    args = [masks, bias2, w2c, w2h]
+    if prologue is not None:
+        args += [
+            prologue[0].astype(jnp.float32)[None],
+            prologue[1].astype(jnp.float32)[None],
+        ]
+    args.append(x3)
+    out = call(*args)  # (d, h*nb, 128) row-major [+ (8,128) stats]
+    if want_stats:
+        y, st = out
+        return y, (st[0], st[1])
+    return out
 
 
 def conv3d_s1_fwd_impl(x, w, b):

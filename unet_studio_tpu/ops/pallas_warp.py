@@ -10,10 +10,12 @@ at the flagship grid even in the fused mul-reduce form.  This kernel runs
 the whole extraction + trilinear blend + majority vote per VMEM tile:
 HBM traffic collapses to read-rows + write-two-(N,8)-outputs.
 
-Layout: everything minor-N.  The gathered rows arrive TRANSPOSED as
-(216, N) — one XLA transpose, ~2 ms, so every in-kernel op is a full
-(8 sublane, 128 lane) vreg: the voxel dim v=8 rides the sublanes, N rides
-the lanes.  Per window row (z,y,i) the kernel does 2 FMAs (taps tx=0,1)
+Layout: everything minor-N.  The gathered rows arrive AS GATHERED in
+(N, 216) — the kernel transposes each (B, 216) tile once in VMEM (the
+XLA-side transpose this replaces was an HBM round trip, 6.2 ms measured
+at the flagship grid) so every subsequent op is a full (8 sublane,
+128 lane) vreg: the voxel dim v=8 rides the sublanes, N rides the
+lanes.  Per window row (z,y,i) the kernel does 2 FMAs (taps tx=0,1)
 against precomputed one-hot masks — 624 (8,B) FMAs per tile total, the
 same 624 FMA/voxel the staged contraction always needed, now at VMEM
 speed with zero HBM intermediates.
@@ -42,10 +44,14 @@ def _interpret() -> bool:
 
 def _kernel(g_ref, oz_ref, oy_ref, ox_ref, fz_ref, fy_ref, fx_ref, v_ref,
             img_ref, lab_ref):
-    """g (216,B) packed rows; o* (8,B) i32; f*/valid (8,B) f32.
-    Writes img (8,B) = trilinear blend of the packed image part (un-scaled:
-    caller multiplies by peak/65535) and lab (8,B) = majority label."""
+    """g (B,216) packed rows AS GATHERED (N-major — the XLA-side
+    transpose used to cost 6.2 ms at the flagship grid; a single in-VMEM
+    transpose here is free by comparison); o* (8,B) i32; f*/valid (8,B)
+    f32.  Writes img (8,B) = trilinear blend of the packed image part
+    (un-scaled: caller multiplies by peak/65535) and lab (8,B) =
+    majority label."""
     f32 = jnp.float32
+    gt = g_ref[...].T  # (216, B) in VMEM
     oz, oy, ox = oz_ref[...], oy_ref[...], ox_ref[...]
 
     # one-hot masks per (tap, window index): (8,B) each
@@ -64,7 +70,7 @@ def _kernel(g_ref, oz_ref, oy_ref, ox_ref, fz_ref, fy_ref, fx_ref, v_ref,
             acc0 = None
             acc1 = None
             for i in range(_SC_L):
-                row = g_ref[base + i, :][None, :]  # (1,B) -> bcast (8,B)
+                row = gt[base + i, :][None, :]  # (1,B) -> bcast (8,B)
                 t0 = row * mx[0][i]
                 t1 = row * mx[1][i]
                 acc0 = t0 if acc0 is None else acc0 + t0
@@ -147,17 +153,15 @@ def extract_combine_packed(rows, oz, oy, ox, fz, fy, fx, valid, peak):
         a = a.astype(dtype).T  # (8, N)
         return jnp.pad(a, ((0, 0), (0, pad))) if pad else a
 
-    g_t = rows.T
-    if pad:
-        g_t = jnp.pad(g_t, ((0, 0), (0, pad)))
+    g_nm = jnp.pad(rows, ((0, pad), (0, 0))) if pad else rows  # (npad, 216)
     args = (
-        g_t,
+        g_nm,
         prep(oz, jnp.int32), prep(oy, jnp.int32), prep(ox, jnp.int32),
         prep(fz, jnp.float32), prep(fy, jnp.float32), prep(fx, jnp.float32),
         prep(valid, jnp.float32),
     )
     grid = (npad // _B,)
-    row_spec = pl.BlockSpec((_ROWS, _B), lambda t: (0, t),
+    row_spec = pl.BlockSpec((_B, _ROWS), lambda t: (t, 0),
                             memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((8, _B), lambda t: (0, t), memory_space=pltpu.VMEM)
     img8, lab8 = pl.pallas_call(

@@ -174,11 +174,25 @@ def sample_majority(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, best_label, jnp.zeros_like(best_label))
 
 
+def _volume_max(vol: jnp.ndarray):
+    """max(vol) via the streaming lane-max kernel where the shape and
+    backend allow (XLA's volume max reduce costs ~2.5 ms at the flagship
+    grid); jnp.max fallback otherwise.  Exact for the clamped use below
+    (max(.., eps): the kernel's zero-init only matters for all-negative
+    volumes, where both forms clamp to eps)."""
+    d, h, w = vol.shape
+    if (h * w) % 128 == 0 and warp_kernel_active():
+        from .packed import lane_max
+
+        return jnp.max(lane_max(vol.reshape(d, (h * w) // 128, 128)))
+    return jnp.max(vol)
+
+
 def _pack_image_label(image0: jnp.ndarray, label: jnp.ndarray):
     """``label*2^16 + round(image/peak*65535)`` in one f32 (exact for
     integers < 2^24).  Image is peak-scaled 16-bit quantized (relative
     error 1.5e-5); labels must be < 256."""
-    peak = jnp.maximum(jnp.max(image0), 1e-12)
+    peak = jnp.maximum(_volume_max(image0), 1e-12)
     img16 = jnp.round(jnp.clip(image0 / peak, 0.0, 1.0) * 65535.0)
     return jnp.round(label) * 65536.0 + img16, peak
 
