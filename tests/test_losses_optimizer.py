@@ -129,6 +129,24 @@ def test_nearest_downsample_matches_torch(rng):
     np.testing.assert_array_equal(ours, theirs)
 
 
+def test_mm_nearest_down2_matches_slice(rng):
+    """The one-hot-matmul lane deinterleave (ops/losses.py
+    _nearest_down2) must be BITWISE the stride-2 slice for int labels,
+    including odd z/h dims and 255-valued labels; odd W falls back to
+    the slice."""
+    from unet_studio_tpu.ops.losses import _nearest_down2
+
+    for shape in ((1, 8, 6, 10), (2, 7, 5, 16), (1, 4, 4, 9)):
+        t = jnp.asarray(
+            rng.integers(0, 256, shape).astype(np.int32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(_nearest_down2(t)),
+            np.asarray(t[:, ::2, ::2, ::2]),
+            err_msg=str(shape),
+        )
+
+
 def test_sgd_parity_with_torch(rng):
     """3 steps of our SGD == torch.optim.SGD with the reference's groups."""
     shapes = {"a.0.w": (4, 3, 3, 3, 3), "a.0.b": (4,), "a.1.w": (4,), "a.1.b": (4,)}

@@ -290,6 +290,55 @@ def test_forward_packed_train_grads(rng):
             )
 
 
+def test_packed_head_planes_loss_parity(rng):
+    """The channel-leading level-0 loss interface (PackedHead ->
+    packed_head_planes -> ChannelLeading, the round-5 train-step path)
+    must match the 5D-logits path in loss value AND parameter grads."""
+    from unet_studio_tpu.models.unet3d import (
+        PackedHead,
+        UNet3d,
+        forward_packed,
+        packed_head_planes,
+    )
+    from unet_studio_tpu.ops.losses import ChannelLeading, deep_supervision_loss
+
+    model = UNet3d.create(1, 4, PACKED_ARCH, seed=0)
+    spec = model.spec
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 64, 1)), jnp.float32)
+    target = jnp.asarray(
+        (rng.random((1, 16, 16, 64)) * 5).astype(np.int32)
+    )  # includes some invalid (=4) voxels
+    params = {k: jnp.asarray(v) for k, v in model.params.items()}
+
+    def loss_plain(params):
+        outs = forward_packed(
+            spec, params, x, compute_dtype=jnp.float32, train=True
+        )
+        outs = [o for o in outs if o is not None]
+        return deep_supervision_loss(outs, target, 4)[0]
+
+    def loss_planes(params):
+        outs = forward_packed(
+            spec, params, x, compute_dtype=jnp.float32, train=True,
+            level0_packed=True,
+        )
+        assert isinstance(outs[0], PackedHead), "head fast-path not taken"
+        outs = [ChannelLeading(packed_head_planes(outs[0]))] + [
+            o for o in outs[1:] if o is not None
+        ]
+        return deep_supervision_loss(outs, target, 4)[0]
+
+    v0, g0 = jax.value_and_grad(loss_plain)(params)
+    v1, g1 = jax.value_and_grad(loss_planes)(params)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    for k in g0:
+        scale = max(float(jnp.max(jnp.abs(g0[k]))), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g0[k]),
+            atol=1e-5 * scale + 1e-7, err_msg=k,
+        )
+
+
 # ---------------------------------------------------------------------------
 # the 64->128->64 boundary (round-2 verdict: the untested seam that shipped
 # ~80%-relative-error TPU inference and a crashing TPU train step)

@@ -195,6 +195,50 @@ def test_supercell_warp_kernel_matches_xla_tail(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(kl), np.asarray(xl))
 
 
+def test_supercell_warp_native_kernel_matches_blockified(rng, monkeypatch):
+    """The native-layout kernel (geometry volumes in, volumes out) must
+    match the blockified kernel BITWISE — the compute core is shared;
+    only the VMEM shuffle differs.  Ay=10 exercises the gy divisor
+    pick; the shared-geometry sampler path must accept native form."""
+    from unet_studio_tpu.ops.resample import (
+        SupercellLinearSampler,
+        _supercell_geometry,
+    )
+
+    shape = (12, 20, 16)
+    img = rng.random(shape).astype(np.float32) * 2.5
+    lab = ((rng.random(shape) * 6).astype(np.float32)) // 1
+    m = affine_matrix(
+        translation=(1.2, -0.7, 0.4),
+        rotation=(0.1, -0.15, 0.2),
+        scaling=(1.1, 0.9, 1.05),
+        shape_dhw=shape,
+    )
+    grid = meshgrid_xyz(shape)
+    coords = apply_affine(grid + 0.7 * jnp.sin(grid * 0.4), m)
+
+    monkeypatch.setenv("UNET_TPU_FORCE_PACKED", "1")  # kernels on, off-TPU
+    anchors = tuple(s // 2 for s in shape)
+    geom_native = _supercell_geometry(coords, shape, anchors, blockify=False)
+    ni, nl = sample_warp_image_label_supercell(
+        jnp.asarray(img), jnp.asarray(lab), coords, geometry=geom_native
+    )
+    # the native geometry must also feed the (blockify-on-use) sampler
+    extra = SupercellLinearSampler(jnp.asarray(img)).sample(
+        coords, geometry=geom_native
+    )
+
+    monkeypatch.setenv("UNET_TPU_NO_NATIVE_WARP", "1")
+    bi, bl = sample_warp_image_label_supercell(
+        jnp.asarray(img), jnp.asarray(lab), coords
+    )
+    extra_b = SupercellLinearSampler(jnp.asarray(img)).sample(coords)
+
+    np.testing.assert_array_equal(np.asarray(ni), np.asarray(bi))
+    np.testing.assert_array_equal(np.asarray(nl), np.asarray(bl))
+    np.testing.assert_array_equal(np.asarray(extra), np.asarray(extra_b))
+
+
 def test_supercell_linear_sampler_matches_sample_linear(rng):
     from unet_studio_tpu.ops.resample import SupercellLinearSampler
 

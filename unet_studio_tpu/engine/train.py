@@ -36,9 +36,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.bids import TrainingDataset, load_pair_on_model_grid, shift_subject_label
 from ..models.serialize import save_model
-from ..models.unet3d import UNet3d, forward
+from ..models.unet3d import PackedHead, UNet3d, forward, packed_head_planes
 from ..ops.augment import AugOptions, visual_perception_augmentation
-from ..ops.losses import calc_losses, deep_supervision_loss
+from ..ops.losses import ChannelLeading, calc_losses, deep_supervision_loss
 from ..ops.simulate import simulate_modality_subject, simulate_modality_template
 from ..parallel.mesh import make_mesh
 from .optimizer import SGDConfig, init_opt_state, poly_lr, sgd_step
@@ -118,8 +118,14 @@ def build_train_step(
         aug_img = jax.lax.stop_gradient(aug_img)
         aug_lab = jax.lax.stop_gradient(aug_lab)
         outs, _ = forward(
-            spec, params, aug_img[None], train=True, compute_dtype=cdt, remat=remat
+            spec, params, aug_img[None], train=True, compute_dtype=cdt,
+            remat=remat, level0_packed=True,
         )
+        if isinstance(outs[0], PackedHead):
+            # straight to the loss's channel-leading planes — never
+            # materialize the lane-padded C-minor (...,C) logits tensor
+            # (~20 ms/item fwd+bwd at the flagship grid)
+            outs = [ChannelLeading(packed_head_planes(outs[0]))] + outs[1:]
         target = aug_lab[None].astype(jnp.int32)
         ds_loss = (
             jax.checkpoint(deep_supervision_loss, static_argnums=(2, 3, 4, 5, 6))

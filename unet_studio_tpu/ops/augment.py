@@ -55,6 +55,7 @@ from .resample import (
     sample_warp_image_label,
     sample_warp_image_label_supercell,
     supercell_warp_shape_ok,
+    warp_native_active,
 )
 
 
@@ -462,7 +463,12 @@ def visual_perception_augmentation(
             # once and share it across the packed warp and any extra
             # per-channel samplers (it is ~20% of the supercell cost)
             anchors = (d // 2, h // 2, w // 2)
-            geom = _supercell_geometry(coords, shape_dhw, anchors)
+            # native (unblockified) geometry when the native-layout tail
+            # will consume it; extra-channel samplers blockify on use
+            geom = _supercell_geometry(
+                coords, shape_dhw, anchors,
+                blockify=not warp_native_active(),
+            )
             ch0, out_label = sample_warp_image_label_supercell(
                 image[..., 0], label, coords, geometry=geom
             )

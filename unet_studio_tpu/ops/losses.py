@@ -17,19 +17,34 @@ are enabled, weighted per deep-supervision level by (1/2^k)/sum
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
 
+class ChannelLeading(NamedTuple):
+    """Level-0 logits already in channel-leading planes (C, N, D, H, W).
+
+    Produced straight from the packed head output (models/unet3d.py
+    ``packed_head_planes``): the (R, bx*C) -> (C, N, D, H, W) transpose
+    never materializes a C-minor (..., 4) tensor — on TPU that layout is
+    lane-padded 4->128 and the round trip through it cost ~20 ms/item
+    fwd+bwd at the flagship grid (round-5 step trace)."""
+
+    planes: jnp.ndarray  # (C, N, D, H, W) float32
+
+
 def calc_losses(
-    logits: jnp.ndarray,
+    logits,
     target: jnp.ndarray,
     n_classes: int,
     collapse_before: int = 0,
 ):
     """Returns (ce, dice, mse) scalars, float32.
 
-    logits: (N, D, H, W, C) float; target: (N, D, H, W) int.
+    logits: (N, D, H, W, C) float — or a ``ChannelLeading`` of planes
+    (C, N, D, H, W); target: (N, D, H, W) int.
     """
     if collapse_before < 0 or collapse_before >= n_classes:
         raise ValueError("invalid collapse_before")
@@ -43,8 +58,13 @@ def calc_losses(
     # strided slices on a C=4-minor volume) ran as an 8.2M-element gather
     # plus its scatter transpose: 218.6 ms fwd+bwd at the flagship grid on
     # chip; this form is 11.0 ms at exact (0.0) parity.
-    lgT = jnp.moveaxis(logits, -1, 0).astype(jnp.float32)
-    lg = [lgT[c] for c in range(logits.shape[-1])]
+    if isinstance(logits, ChannelLeading):
+        lgT = logits.planes.astype(jnp.float32)
+        batch = lgT.shape[1]
+    else:
+        lgT = jnp.moveaxis(logits, -1, 0).astype(jnp.float32)
+        batch = logits.shape[0]
+    lg = [lgT[c] for c in range(lgT.shape[0])]
 
     if collapse_before:
         m = lg[0]
@@ -80,7 +100,6 @@ def calc_losses(
 
     # soft dice over classes 1..out_c-1, per sample then averaged
     eps = 1e-5
-    batch = logits.shape[0]
     dice_sum = 0.0
     for c in range(1, out_c):
         p = prob_of(lg[c]) * valid
@@ -90,6 +109,32 @@ def calc_losses(
         dice_sum = dice_sum + jnp.sum((2.0 * inter + eps) / (card + eps))
     dice = 1.0 - dice_sum / float(batch * max(1, out_c - 1))
     return ce, dice, mse
+
+
+def _nearest_down2(t: jnp.ndarray) -> jnp.ndarray:
+    """``t[:, ::2, ::2, ::2]`` for an int label volume (N, D, H, W).
+
+    The W-axis stride-2 slice is a lane deinterleave — XLA:TPU lowers it
+    as a full-volume GATHER (13 ms/item at the flagship grid, round-5
+    step trace) in any layout.  Instead: slice z/y (sublane strides are
+    cheap) and deinterleave x with a one-hot matmul on the MXU — exact
+    for integer labels < 256 (bf16 products of small ints are exact and
+    each sum has a single nonzero term).  ``UNET_TPU_NO_MM_DOWN2=1``
+    restores the plain slice (A/B + fallback)."""
+    import os
+
+    n, d, h, w = t.shape
+    if w % 2 or os.environ.get("UNET_TPU_NO_MM_DOWN2"):
+        return t[:, ::2, ::2, ::2]
+    ts = t[:, ::2, ::2, :]
+    sel = (
+        jnp.arange(w, dtype=jnp.int32)[:, None]
+        == 2 * jnp.arange(w // 2, dtype=jnp.int32)[None, :]
+    )
+    out = jax.lax.dot(
+        ts.reshape(-1, w).astype(jnp.bfloat16), sel.astype(jnp.bfloat16)
+    )
+    return out.reshape(ts.shape[:3] + (w // 2,)).astype(t.dtype)
 
 
 def deep_supervision_loss(
@@ -119,7 +164,7 @@ def deep_supervision_loss(
         if k > 0:
             # nearest downsample x2: torch interpolate(nearest) picks
             # floor(i * in/out) = 2*i -> stride-2 subsample from index 0
-            cur_target = cur_target[:, ::2, ::2, ::2]
+            cur_target = _nearest_down2(cur_target)
         ce, dice, mse = calc_losses(logits, cur_target, n_classes, collapse_before)
         if k == 0:
             level0 = (ce, dice, mse)

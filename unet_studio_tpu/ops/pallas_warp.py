@@ -42,17 +42,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(g_ref, oz_ref, oy_ref, ox_ref, fz_ref, fy_ref, fx_ref, v_ref,
-            img_ref, lab_ref):
-    """g (B,216) packed rows AS GATHERED (N-major — the XLA-side
-    transpose used to cost 6.2 ms at the flagship grid; a single in-VMEM
-    transpose here is free by comparison); o* (8,B) i32; f*/valid (8,B)
-    f32.  Writes img (8,B) = trilinear blend of the packed image part
-    (un-scaled: caller multiplies by peak/65535) and lab (8,B) =
-    majority label."""
+def _compute(row, oz, oy, ox, fz, fy, fx, vf):
+    """Shared extract+combine core.  ``row(i)`` returns window value i
+    broadcast to the per-voxel compute form; o* i32 / f*, vf f32 arrays
+    in that same form ((8,B) for the blockified kernel, (8*gy, ax) for
+    the native one — the math is elementwise so the form is free).
+    Returns (img un-scaled — caller multiplies by peak/65535 — and lab
+    majority label)."""
     f32 = jnp.float32
-    gt = g_ref[...].T  # (216, B) in VMEM
-    oz, oy, ox = oz_ref[...], oy_ref[...], ox_ref[...]
 
     # one-hot masks per (tap, window index): (8,B) each
     def masks(o):
@@ -70,9 +67,9 @@ def _kernel(g_ref, oz_ref, oy_ref, ox_ref, fz_ref, fy_ref, fx_ref, v_ref,
             acc0 = None
             acc1 = None
             for i in range(_SC_L):
-                row = gt[base + i, :][None, :]  # (1,B) -> bcast (8,B)
-                t0 = row * mx[0][i]
-                t1 = row * mx[1][i]
+                r = row(base + i)
+                t0 = r * mx[0][i]
+                t1 = r * mx[1][i]
                 acc0 = t0 if acc0 is None else acc0 + t0
                 acc1 = t1 if acc1 is None else acc1 + t1
             u1[0][z][y] = acc0
@@ -101,7 +98,6 @@ def _kernel(g_ref, oz_ref, oy_ref, ox_ref, fz_ref, fy_ref, fx_ref, v_ref,
                 corner[(tz, ty, tx)] = acc
 
     # combine: unpack label*65536 + img16, trilinear blend + majority vote
-    fz, fy, fx = fz_ref[...], fy_ref[...], fx_ref[...]
     wz = (1.0 - fz, fz)
     wy = (1.0 - fy, fy)
     wx = (1.0 - fx, fx)
@@ -134,9 +130,24 @@ def _kernel(g_ref, oz_ref, oy_ref, ox_ref, fz_ref, fy_ref, fx_ref, v_ref,
             best_score = jnp.where(better, score, best_score)
             best_label = jnp.where(better, labs[c], best_label)
 
-    vf = v_ref[...]
-    img_ref[...] = out_img * vf
-    lab_ref[...] = best_label * vf
+    return out_img * vf, best_label * vf
+
+
+def _kernel(g_ref, oz_ref, oy_ref, ox_ref, fz_ref, fy_ref, fx_ref, v_ref,
+            img_ref, lab_ref):
+    """Blockified-layout kernel: g (B,216) packed rows AS GATHERED
+    (N-major — the XLA-side transpose used to cost 6.2 ms at the
+    flagship grid; a single in-VMEM transpose here is free by
+    comparison); o* (8,B) i32; f*/valid (8,B) f32.  Writes img/lab
+    (8,B)."""
+    gt = g_ref[...].T  # (216, B) in VMEM
+    img, lab = _compute(
+        lambda i: gt[i, :][None, :],  # (1,B) -> bcast (8,B)
+        oz_ref[...], oy_ref[...], ox_ref[...],
+        fz_ref[...], fy_ref[...], fx_ref[...], v_ref[...],
+    )
+    img_ref[...] = img
+    lab_ref[...] = lab
 
 
 def extract_combine_packed(rows, oz, oy, ox, fz, fy, fx, valid, peak):
@@ -179,3 +190,137 @@ def extract_combine_packed(rows, oz, oy, ox, fz, fy, fx, valid, peak):
     img = img8[:, :n].T * (peak / 65535.0)
     lab = lab8[:, :n].T
     return img, lab
+
+
+# ---------------------------------------------------------------------------
+# native-layout variant: geometry in, volumes out — no XLA-side transposes
+# ---------------------------------------------------------------------------
+
+
+def _native_kernel(g_ref, x_ref, y_ref, z_ref, az_ref, ay_ref, ax_ref,
+                   img_ref, lab_ref, *, gy, ax, dhw):
+    """Native-layout kernel: one tile covers the 2x(2*gy)xW output slab of
+    gy*ax consecutive supercells (one z-anchor, gy y-anchors, all x).
+    The three warp-coordinate volumes arrive as native (2, 2*gy, 2*ax)
+    blocks, the per-supercell anchors as (gy, ax) rows, and the whole
+    sample geometry (floors, window offsets, fracs, validity — the math
+    of resample._supercell_geometry) is computed HERE in the compute
+    form.  This kills the seven full-volume blockify transposes + the
+    o/f/valid full-volume XLA passes + the two output unblockifies the
+    XLA side used to pay (~30 ms/item at the flagship grid) AND the
+    blocked-layout contagion they spread into downstream consumers.
+
+    Compute form: (8, gy, ax) — leading dim = voxel-in-block (vz,vy,vx)
+    flat, sublanes = y-anchor, lanes = x-anchor.  Per-supercell values
+    ((1, gy, ax): window rows, anchors) broadcast implicitly.  Mosaic
+    has no lane-dim split/interleave, so the native<->compute shuffles
+    route the lane dim through the sublanes via last-two-dim transposes
+    + sublane reshapes (all supported; see scratch/mosaic_probe.py,
+    ~2.3 ms per full volume measured)."""
+    d, h, w = dhw
+    f32 = jnp.float32
+
+    def to_c(blk):  # (2, 2*gy, W) -> (8, gy, ax), leading (vz,vy,vx)
+        a = blk.reshape(2, gy, 2, blk.shape[-1])  # (vz, j, vy, W)
+        a = a.transpose(0, 2, 1, 3)  # (vz, vy, j, W)
+        a = a.transpose(0, 1, 3, 2)  # (vz, vy, W, j) — lane dim -> j
+        a = a.reshape(2, 2, ax, 2, gy)  # (vz, vy, axb, vx, j)
+        a = a.transpose(0, 1, 3, 2, 4)  # (vz, vy, vx, axb, j)
+        a = a.transpose(0, 1, 2, 4, 3)  # (vz, vy, vx, j, axb) — lanes=axb
+        return a.reshape(8, gy, ax)
+
+    def to_native(c):  # (8, gy, ax) -> (2, 2*gy, W)
+        a = c.reshape(2, 2, 2, gy, ax)  # (vz, vy, vx, j, axb)
+        a = a.transpose(0, 1, 2, 4, 3)  # (vz, vy, vx, axb, j) — lanes=j
+        a = a.transpose(0, 1, 3, 2, 4)  # (vz, vy, axb, vx, j)
+        a = a.reshape(2, 2, 2 * ax, gy)  # (vz, vy, W, j)
+        a = a.transpose(0, 1, 3, 2)  # (vz, vy, j, W) — lanes=W
+        a = a.transpose(0, 2, 1, 3)  # (vz, j, vy, W)
+        return a.reshape(2, 2 * gy, 2 * ax)
+
+    xc, yc, zc = to_c(x_ref[...]), to_c(y_ref[...]), to_c(z_ref[...])
+    # geometry — identical formulas to _supercell_geometry, so the
+    # result is BITWISE the blockified path's (asserted by
+    # tests/test_resample.py native-vs-blockified)
+    x0 = jnp.floor(xc)
+    y0 = jnp.floor(yc)
+    z0 = jnp.floor(zc)
+    fx, fy, fz = xc - x0, yc - y0, zc - z0
+    azb = az_ref[...][None]  # (1, gy, ax) i32, broadcasts over voxels
+    ayb = ay_ref[...][None]
+    axb = ax_ref[...][None]
+    oz = jnp.clip(z0.astype(jnp.int32) - 2 * azb, 0, _SC_L - 2)
+    oy = jnp.clip(y0.astype(jnp.int32) - 2 * ayb, 0, _SC_L - 2)
+    ox = jnp.clip(x0.astype(jnp.int32) - 2 * axb, 0, _SC_L - 2)
+    valid = (
+        (xc >= 0) & (xc <= w - 1)
+        & (yc >= 0) & (yc <= h - 1)
+        & (zc >= 0) & (zc <= d - 1)
+    ).astype(f32)
+
+    # rows (gy, ax, 216) -> (gy, 216, ax); row(i) is (1, gy, ax) and
+    # broadcasts over the 8 voxels of each supercell for free
+    rt = g_ref[...].transpose(0, 2, 1)
+    img_c, lab_c = _compute(
+        lambda i: rt[:, i, :][None], oz, oy, ox, fz, fy, fx, valid
+    )
+    img_ref[...] = to_native(img_c)
+    lab_ref[...] = to_native(lab_c)
+
+
+def _pick_gy(ay: int, ax: int) -> int:
+    """Largest divisor of Ay keeping the per-tile row block (gy*ax, 216)
+    f32 under ~1 MB, preferring >= 256 supercells per tile."""
+    best = 1
+    for gy in range(1, ay + 1):
+        if ay % gy:
+            continue
+        if gy * ax * _ROWS * 4 > (1 << 20):
+            break
+        best = gy
+    return best
+
+
+def extract_combine_native(rows, xc, yc, zc, az_arr, ay_arr, ax_arr, peak):
+    """Native-layout warp tail with in-kernel geometry: rows (N,216) f32
+    in supercell raster order (az, ay, ax); xc/yc/zc (D,H,W) f32 warp
+    coordinates; a*_arr (Az,Ay,Ax) i32 per-supercell window anchors;
+    peak traced scalar.  Returns (img (D,H,W) f32 scaled by peak/65535,
+    lab (D,H,W) f32) — both in the canonical row-major volume layout."""
+    d, h, w = xc.shape
+    az, ay, ax = d // 2, h // 2, w // 2
+    gy = _pick_gy(ay, ax)
+    grid = (az, ay // gy)
+    rows3 = rows.reshape(az * ay, ax, _ROWS)  # free major-dim split
+    row_spec = pl.BlockSpec(
+        (gy, ax, _ROWS),
+        lambda z, t, _ng=ay // gy: (z * _ng + t, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    vol_spec = pl.BlockSpec(
+        (2, 2 * gy, w), lambda z, t: (z, t, 0), memory_space=pltpu.VMEM
+    )
+    anc_spec = pl.BlockSpec(
+        (gy, ax),
+        lambda z, t, _ng=ay // gy: (z * _ng + t, 0),
+        memory_space=pltpu.VMEM,
+    )
+    img, lab = pl.pallas_call(
+        partial(_native_kernel, gy=gy, ax=ax, dhw=(d, h, w)),
+        grid=grid,
+        in_specs=[row_spec] + [vol_spec] * 3 + [anc_spec] * 3,
+        out_specs=(vol_spec, vol_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((d, h, w), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
+        interpret=_interpret(),
+    )(
+        rows3,
+        xc.astype(jnp.float32), yc.astype(jnp.float32), zc.astype(jnp.float32),
+        az_arr.reshape(az * ay, ax).astype(jnp.int32),
+        ay_arr.reshape(az * ay, ax).astype(jnp.int32),
+        ax_arr.reshape(az * ay, ax).astype(jnp.int32),
+    )
+    return img * (peak / 65535.0), lab

@@ -16,6 +16,7 @@ zero initialization).
 from __future__ import annotations
 
 import os
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -275,10 +276,13 @@ def _supercell_table(vol: jnp.ndarray):
     order (iz, iy, ix).
 
     MEMORY: the table is 216/8 = 27x the volume (~890 MB f32 at the
-    flagship 192x224x192 grid) and the three stacked passes write
-    ~3x + 9x + 27x the volume sequentially — it is the dominant HBM
-    term of the supercell design.  Callers must bound how many tables
-    are live at once (see augment.py's one-extra-channel cap)."""
+    flagship 192x224x192 grid) — it is the dominant HBM term of the
+    supercell design.  Callers must bound how many tables are live at
+    once (see augment.py's one-extra-channel cap).
+
+    (A one-hot conv_general_dilated im2col build was tried round 5 and
+    REJECTED: 12.3 vs 6.9 ms on chip, and the MXU's default-precision
+    bf16 products truncate the f32 window values — not exact.)"""
     d, h, w = vol.shape
     az, ay, ax = d // 2, h // 2, w // 2
     p = _SC_L - _SC_S  # window may reach index s*(A-1)+L-1 = dim+3
@@ -338,31 +342,34 @@ def supercell_warp_shape_ok(shape_dhw) -> bool:
     return all(int(s) % 2 == 0 and int(s) >= _SC_L for s in shape_dhw)
 
 
-def _supercell_geometry(coords: jnp.ndarray, shape_dhw, anchors):
-    """Shared blockified sample geometry against a supercell table.
+class NativeGeometry(NamedTuple):
+    """Anchor-only supercell geometry for the native-layout Pallas tail
+    (pallas_warp.py): the per-voxel offsets/fracs/validity are computed
+    IN-KERNEL from the coordinate volumes, so only the per-supercell
+    anchor grids cross the boundary — no full-volume blockify transposes
+    (~22 ms/item at the flagship grid) and no o/f/valid XLA passes."""
 
-    coords (D,H,W,3) -> (row_idx (N,), offsets (oz,oy,ox) each (N,8)
-    clipped into the window, fracs (fz,fy,fx) each (N,8), valid (N,8)).
-    The anchor choice is the largest even base <= min(floor) whose
-    window still covers max(floor)+1, mid-balanced when both constraints
-    allow slack, clipped into the anchor grid.
+    row_idx: jnp.ndarray  # (N,) i32
+    az: jnp.ndarray  # (Az, Ay, Ax) i32 window z-anchor per supercell
+    ay: jnp.ndarray
+    ax: jnp.ndarray
+
+
+def _supercell_anchors(coords: jnp.ndarray, shape_dhw, anchors):
+    """Per-supercell window anchors + raster row index.  The anchor
+    choice is the largest even base <= min(floor) whose window still
+    covers max(floor)+1, mid-balanced when both constraints allow
+    slack, clipped into the anchor grid.
 
     Every elementwise op runs in full-volume (D,H,W) layout (W minor =
     full vector lanes); the per-block min/max is three staged stride-2
-    pair reductions and only the final outputs are blockified.  The
-    blockify-first form kept minor-8 shapes throughout — measured 4x
-    slower on chip (22.1 vs 5.6 ms at the flagship grid)."""
-    d, h, w = shape_dhw
+    pair reductions.  The blockify-first form kept minor-8 shapes
+    throughout — measured 4x slower on chip (22.1 vs 5.6 ms at the
+    flagship grid)."""
     az_n, ay_n, ax_n = anchors
-    x = coords[..., 0]
-    y = coords[..., 1]
-    z = coords[..., 2]
-    valid = (
-        (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1) & (z >= 0) & (z <= d - 1)
-    )
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    z0 = jnp.floor(z).astype(jnp.int32)
+    x0 = jnp.floor(coords[..., 0]).astype(jnp.int32)
+    y0 = jnp.floor(coords[..., 1]).astype(jnp.int32)
+    z0 = jnp.floor(coords[..., 2]).astype(jnp.int32)
 
     def block_reduce(a, op):  # (D,H,W) -> (D/2,H/2,W/2)
         a = op(a[0::2], a[1::2])
@@ -378,17 +385,59 @@ def _supercell_geometry(coords: jnp.ndarray, shape_dhw, anchors):
     ay = anchor(y0, ay_n)
     ax = anchor(x0, ax_n)
     row_idx = ((az * ay_n + ay) * ax_n + ax).reshape(-1)
+    return row_idx, az, ay, ax, (x0, y0, z0)
+
+
+def _supercell_geometry(coords: jnp.ndarray, shape_dhw, anchors,
+                        blockify: bool = True):
+    """Shared blockified sample geometry against a supercell table.
+
+    coords (D,H,W,3) -> (row_idx (N,), offsets (oz,oy,ox) each (N,8)
+    clipped into the window, fracs (fz,fy,fx) each (N,8), valid (N,8)).
+    ``blockify=False`` returns a ``NativeGeometry`` instead — anchors
+    only; the native Pallas tail derives the per-voxel fields in-kernel
+    (bitwise the same formulas, asserted by tests/test_resample.py)."""
+    row_idx, az, ay, ax, floors = _supercell_anchors(coords, shape_dhw, anchors)
+    if not blockify:
+        return NativeGeometry(row_idx, az, ay, ax)
+    return _blockify_geometry(NativeGeometry(row_idx, az, ay, ax),
+                              coords, shape_dhw, floors)
+
+
+def _geometry_is_native(geometry) -> bool:
+    return isinstance(geometry, NativeGeometry)
+
+
+def _blockify_geometry(geometry: "NativeGeometry", coords, shape_dhw,
+                       floors=None):
+    """Expand an anchor-only ``NativeGeometry`` into the blockified
+    (N,8) per-voxel form the staged XLA tail / blockified kernel /
+    SupercellLinearSampler consume."""
+    d, h, w = shape_dhw
+    x = coords[..., 0]
+    y = coords[..., 1]
+    z = coords[..., 2]
+    if floors is None:
+        floors = (
+            jnp.floor(x).astype(jnp.int32),
+            jnp.floor(y).astype(jnp.int32),
+            jnp.floor(z).astype(jnp.int32),
+        )
+    x0, y0, z0 = floors
+    valid = (
+        (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1) & (z >= 0) & (z <= d - 1)
+    )
 
     def up(a):  # (D/2,H/2,W/2) -> (D,H,W)
         a = jnp.repeat(a, 2, axis=0)
         a = jnp.repeat(a, 2, axis=1)
         return jnp.repeat(a, 2, axis=2)
 
-    oz = jnp.clip(z0 - 2 * up(az), 0, _SC_L - 2)
-    oy = jnp.clip(y0 - 2 * up(ay), 0, _SC_L - 2)
-    ox = jnp.clip(x0 - 2 * up(ax), 0, _SC_L - 2)
+    oz = jnp.clip(z0 - 2 * up(geometry.az), 0, _SC_L - 2)
+    oy = jnp.clip(y0 - 2 * up(geometry.ay), 0, _SC_L - 2)
+    ox = jnp.clip(x0 - 2 * up(geometry.ax), 0, _SC_L - 2)
     return (
-        row_idx,
+        geometry.row_idx,
         (_blockify(oz), _blockify(oy), _blockify(ox)),
         (_blockify(z - z0), _blockify(y - y0), _blockify(x - x0)),
         _blockify(valid),
@@ -412,6 +461,18 @@ def warp_kernel_active() -> bool:
         jax.default_backend() == "tpu"
         or os.environ.get("UNET_TPU_FORCE_PACKED", "") == "1"
     )
+
+
+def warp_native_active() -> bool:
+    """Route the supercell tail through the NATIVE-layout kernel
+    (geometry volumes in, output volumes out — no XLA-side blockify /
+    unblockify transposes and no blocked-layout contagion downstream).
+    UNET_TPU_NO_NATIVE_WARP=1 falls back to the blockified kernel
+    (A/B + fallback); UNET_TPU_NO_WARP_KERNEL=1 still restores the
+    staged XLA tail."""
+    if os.environ.get("UNET_TPU_NO_NATIVE_WARP"):
+        return False
+    return warp_kernel_active()
 
 
 def sample_warp_image_label_supercell(
@@ -443,7 +504,23 @@ def sample_warp_image_label_supercell(
     table, anchors = _supercell_table(packed)
 
     if geometry is None:
-        geometry = _supercell_geometry(coords, (d, h, w), anchors)
+        geometry = _supercell_geometry(
+            coords, (d, h, w), anchors, blockify=not warp_native_active()
+        )
+    if _geometry_is_native(geometry):
+        if warp_native_active():
+            # native-layout tail: row gather stays XLA (transaction-
+            # optimal); per-voxel geometry + extraction ride per-tile
+            # VMEM compute (pallas_warp._native_kernel)
+            from .pallas_warp import extract_combine_native
+
+            rows = table[geometry.row_idx]
+            return extract_combine_native(
+                rows,
+                coords[..., 0], coords[..., 1], coords[..., 2],
+                geometry.az, geometry.ay, geometry.ax, peak,
+            )
+        geometry = _blockify_geometry(geometry, coords, (d, h, w))
     row_idx, (oz, oy, ox), (fz, fy, fx), valid = geometry
     rows = table[row_idx]  # (N, 216)
 
@@ -489,6 +566,8 @@ class SupercellLinearSampler:
         out_shape = coords.shape[:3]
         if geometry is None:
             geometry = _supercell_geometry(coords, self.shape, self.anchors)
+        elif _geometry_is_native(geometry):
+            geometry = _blockify_geometry(geometry, coords, self.shape)
         row_idx, (oz, oy, ox), (fz, fy, fx), valid = geometry
         g = self.table[row_idx].reshape(-1, _SC_L, _SC_L, _SC_L)
 
