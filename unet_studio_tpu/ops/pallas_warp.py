@@ -259,7 +259,8 @@ def _native_kernel(g_ref, x_ref, y_ref, z_ref, az_ref, ay_ref, ax_ref,
     ).astype(f32)
 
     # rows (gy, ax, 216) -> (gy, 216, ax); row(i) is (1, gy, ax) and
-    # broadcasts over the 8 voxels of each supercell for free
+    # broadcasts over the 8 voxels of each supercell for free (a
+    # stack-of-2D-transposes variant measured identical on chip)
     rt = g_ref[...].transpose(0, 2, 1)
     img_c, lab_c = _compute(
         lambda i: rt[:, i, :][None], oz, oy, ox, fz, fy, fx, valid
