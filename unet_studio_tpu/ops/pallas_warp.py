@@ -197,55 +197,58 @@ def extract_combine_packed(rows, oz, oy, ox, fz, fy, fx, valid, peak):
 # ---------------------------------------------------------------------------
 
 
-def _native_kernel(g_ref, x_ref, y_ref, z_ref, az_ref, ay_ref, ax_ref,
-                   img_ref, lab_ref, *, gy, ax, dhw):
-    """Native-layout kernel: one tile covers the 2x(2*gy)xW output slab of
-    gy*ax consecutive supercells (one z-anchor, gy y-anchors, all x).
-    The three warp-coordinate volumes arrive as native (2, 2*gy, 2*ax)
-    blocks, the per-supercell anchors as (gy, ax) rows, and the whole
-    sample geometry (floors, window offsets, fracs, validity — the math
-    of resample._supercell_geometry) is computed HERE in the compute
-    form.  This kills the seven full-volume blockify transposes + the
-    o/f/valid full-volume XLA passes + the two output unblockifies the
-    XLA side used to pay (~30 ms/item at the flagship grid) AND the
-    blocked-layout contagion they spread into downstream consumers.
+def _to_c(blk, gy, ax):
+    """(2, 2*gy, W) -> (8, gy, ax), leading dim (vz,vy,vx) flat.
+    Mosaic has no lane-dim split/interleave, so the lane dim routes
+    through the sublanes via last-two-dim transposes + sublane reshapes
+    (all supported; see scratch/mosaic_probe.py)."""
+    a = blk.reshape(2, gy, 2, blk.shape[-1])  # (vz, j, vy, W)
+    a = a.transpose(0, 2, 1, 3)  # (vz, vy, j, W)
+    a = a.transpose(0, 1, 3, 2)  # (vz, vy, W, j) — lane dim -> j
+    a = a.reshape(2, 2, ax, 2, gy)  # (vz, vy, axb, vx, j)
+    a = a.transpose(0, 1, 3, 2, 4)  # (vz, vy, vx, axb, j)
+    a = a.transpose(0, 1, 2, 4, 3)  # (vz, vy, vx, j, axb) — lanes=axb
+    return a.reshape(8, gy, ax)
 
-    Compute form: (8, gy, ax) — leading dim = voxel-in-block (vz,vy,vx)
-    flat, sublanes = y-anchor, lanes = x-anchor.  Per-supercell values
-    ((1, gy, ax): window rows, anchors) broadcast implicitly.  Mosaic
-    has no lane-dim split/interleave, so the native<->compute shuffles
-    route the lane dim through the sublanes via last-two-dim transposes
-    + sublane reshapes (all supported; see scratch/mosaic_probe.py,
-    ~2.3 ms per full volume measured)."""
+
+def _to_native(c, gy, ax):
+    """(8, gy, ax) -> (2, 2*gy, W): inverse of _to_c."""
+    a = c.reshape(2, 2, 2, gy, ax)  # (vz, vy, vx, j, axb)
+    a = a.transpose(0, 1, 2, 4, 3)  # (vz, vy, vx, axb, j) — lanes=j
+    a = a.transpose(0, 1, 3, 2, 4)  # (vz, vy, axb, vx, j)
+    a = a.reshape(2, 2, 2 * ax, gy)  # (vz, vy, W, j)
+    a = a.transpose(0, 1, 3, 2)  # (vz, vy, j, W) — lanes=W
+    a = a.transpose(0, 2, 1, 3)  # (vz, j, vy, W)
+    return a.reshape(2, 2 * gy, 2 * ax)
+
+
+def _geom_kernel(x_ref, y_ref, z_ref, az_ref, ay_ref, ax_ref,
+                 op_ref, fx_ref, fy_ref, fz_ref, *, gy, ax, dhw):
+    """Stage 1 of the native warp tail: shuffle the three coordinate
+    volumes into the (8, gy, ax) compute form and derive the sample
+    geometry (floors, window offsets, fracs, validity — the math of
+    resample._supercell_geometry), storing it to compute-form HBM
+    intermediates.  The offsets + validity pack into one i32
+    (oz | oy<<3 | ox<<6 | valid<<9).
+
+    WHY TWO KERNELS: values produced by the shuffle keep a Mosaic
+    layout that makes every subsequent vector op ~5x slower — the
+    identical extract+combine measured 33.0 ms fed from the shuffle
+    directly vs 6.4 ms from ref loads, and neither a VMEM scratch
+    round-trip nor layout-matching the other operands broke the
+    contagion (scratch/warp_kernel_breakdown.py).  A ref STORE is
+    cheap, and the second kernel's LOADS are layout-natural, so the
+    ~130 MB HBM round trip (~0.4 ms) buys the fast compute."""
     d, h, w = dhw
-    f32 = jnp.float32
-
-    def to_c(blk):  # (2, 2*gy, W) -> (8, gy, ax), leading (vz,vy,vx)
-        a = blk.reshape(2, gy, 2, blk.shape[-1])  # (vz, j, vy, W)
-        a = a.transpose(0, 2, 1, 3)  # (vz, vy, j, W)
-        a = a.transpose(0, 1, 3, 2)  # (vz, vy, W, j) — lane dim -> j
-        a = a.reshape(2, 2, ax, 2, gy)  # (vz, vy, axb, vx, j)
-        a = a.transpose(0, 1, 3, 2, 4)  # (vz, vy, vx, axb, j)
-        a = a.transpose(0, 1, 2, 4, 3)  # (vz, vy, vx, j, axb) — lanes=axb
-        return a.reshape(8, gy, ax)
-
-    def to_native(c):  # (8, gy, ax) -> (2, 2*gy, W)
-        a = c.reshape(2, 2, 2, gy, ax)  # (vz, vy, vx, j, axb)
-        a = a.transpose(0, 1, 2, 4, 3)  # (vz, vy, vx, axb, j) — lanes=j
-        a = a.transpose(0, 1, 3, 2, 4)  # (vz, vy, axb, vx, j)
-        a = a.reshape(2, 2, 2 * ax, gy)  # (vz, vy, W, j)
-        a = a.transpose(0, 1, 3, 2)  # (vz, vy, j, W) — lanes=W
-        a = a.transpose(0, 2, 1, 3)  # (vz, j, vy, W)
-        return a.reshape(2, 2 * gy, 2 * ax)
-
-    xc, yc, zc = to_c(x_ref[...]), to_c(y_ref[...]), to_c(z_ref[...])
+    xc = _to_c(x_ref[...], gy, ax)
+    yc = _to_c(y_ref[...], gy, ax)
+    zc = _to_c(z_ref[...], gy, ax)
     # geometry — identical formulas to _supercell_geometry, so the
     # result is BITWISE the blockified path's (asserted by
     # tests/test_resample.py native-vs-blockified)
     x0 = jnp.floor(xc)
     y0 = jnp.floor(yc)
     z0 = jnp.floor(zc)
-    fx, fy, fz = xc - x0, yc - y0, zc - z0
     azb = az_ref[...][None]  # (1, gy, ax) i32, broadcasts over voxels
     ayb = ay_ref[...][None]
     axb = ax_ref[...][None]
@@ -256,17 +259,41 @@ def _native_kernel(g_ref, x_ref, y_ref, z_ref, az_ref, ay_ref, ax_ref,
         (xc >= 0) & (xc <= w - 1)
         & (yc >= 0) & (yc <= h - 1)
         & (zc >= 0) & (zc <= d - 1)
-    ).astype(f32)
+    ).astype(jnp.int32)
+    op_ref[...] = oz + (oy << 3) + (ox << 6) + (valid << 9)
+    fx_ref[...] = xc - x0
+    fy_ref[...] = yc - y0
+    fz_ref[...] = zc - z0
 
-    # rows (gy, ax, 216) -> (gy, 216, ax); row(i) is (1, gy, ax) and
-    # broadcasts over the 8 voxels of each supercell for free (a
-    # stack-of-2D-transposes variant measured identical on chip)
-    rt = g_ref[...].transpose(0, 2, 1)
-    img_c, lab_c = _compute(
-        lambda i: rt[:, i, :][None], oz, oy, ox, fz, fy, fx, valid
+
+def _combine_blk_kernel(g_ref, op_ref, fx_ref, fy_ref, fz_ref,
+                        img_ref, lab_ref):
+    """Stage 2: extraction + trilinear blend + majority vote in the
+    DENSE (8, B) blockified form — full 128-lane vregs.  The same math
+    on (8, gy, 96) compute-form shapes ran ~8x slower per op (96-lane
+    padding + per-leading-index op overhead); this kernel is the
+    measured-fast original blockified tail, fed from the stage-1
+    intermediates instead of XLA-side blockify transposes."""
+    op = op_ref[...]
+    oz = op & 7
+    oy = (op >> 3) & 7
+    ox = (op >> 6) & 7
+    valid = (op >> 9).astype(jnp.float32)
+    gt = g_ref[...].T  # (216, B) in VMEM
+    img, lab = _compute(
+        lambda i: gt[i, :][None, :], oz, oy, ox,
+        fz_ref[...], fy_ref[...], fx_ref[...], valid,
     )
-    img_ref[...] = to_native(img_c)
-    lab_ref[...] = to_native(lab_c)
+    img_ref[...] = img
+    lab_ref[...] = lab
+
+
+def _unblockify_kernel(a_ref, b_ref, oa_ref, ob_ref, *, gy, ax):
+    """Stage 3: (8, gy, ax) compute-form blocks -> native (2, 2*gy, W)
+    volume blocks for both outputs.  Shuffle results flow straight into
+    stores (cheap); no compute touches the shuffle-layout values."""
+    oa_ref[...] = _to_native(a_ref[...], gy, ax)
+    ob_ref[...] = _to_native(b_ref[...], gy, ax)
 
 
 def _pick_gy(ay: int, ax: int) -> int:
@@ -291,11 +318,12 @@ def extract_combine_native(rows, xc, yc, zc, az_arr, ay_arr, ax_arr, peak):
     d, h, w = xc.shape
     az, ay, ax = d // 2, h // 2, w // 2
     gy = _pick_gy(ay, ax)
-    grid = (az, ay // gy)
+    ng = ay // gy
+    grid = (az, ng)
     rows3 = rows.reshape(az * ay, ax, _ROWS)  # free major-dim split
     row_spec = pl.BlockSpec(
         (gy, ax, _ROWS),
-        lambda z, t, _ng=ay // gy: (z * _ng + t, 0, 0),
+        lambda z, t, _ng=ng: (z * _ng + t, 0, 0),
         memory_space=pltpu.VMEM,
     )
     vol_spec = pl.BlockSpec(
@@ -303,13 +331,67 @@ def extract_combine_native(rows, xc, yc, zc, az_arr, ay_arr, ax_arr, peak):
     )
     anc_spec = pl.BlockSpec(
         (gy, ax),
-        lambda z, t, _ng=ay // gy: (z * _ng + t, 0),
+        lambda z, t, _ng=ng: (z * _ng + t, 0),
         memory_space=pltpu.VMEM,
     )
-    img, lab = pl.pallas_call(
-        partial(_native_kernel, gy=gy, ax=ax, dhw=(d, h, w)),
+    # compute-form intermediates: (8, Az*Ay, Ax), block (8, gy, ax)
+    cf_spec = pl.BlockSpec(
+        (8, gy, ax),
+        lambda z, t, _ng=ng: (0, z * _ng + t, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cf_i32 = jax.ShapeDtypeStruct((8, az * ay, ax), jnp.int32)
+    cf_f32 = jax.ShapeDtypeStruct((8, az * ay, ax), jnp.float32)
+    op, fx, fy, fz = pl.pallas_call(
+        partial(_geom_kernel, gy=gy, ax=ax, dhw=(d, h, w)),
         grid=grid,
-        in_specs=[row_spec] + [vol_spec] * 3 + [anc_spec] * 3,
+        in_specs=[vol_spec] * 3 + [anc_spec] * 3,
+        out_specs=(cf_spec,) * 4,
+        out_shape=(cf_i32, cf_f32, cf_f32, cf_f32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
+        interpret=_interpret(),
+    )(
+        xc.astype(jnp.float32), yc.astype(jnp.float32), zc.astype(jnp.float32),
+        az_arr.reshape(az * ay, ax).astype(jnp.int32),
+        ay_arr.reshape(az * ay, ax).astype(jnp.int32),
+        ax_arr.reshape(az * ay, ax).astype(jnp.int32),
+    )
+
+    # stage 2 on the free (8, N) view, padded to the dense tile width
+    n = az * ay * ax
+    npad = -(-n // _B) * _B
+    pad = npad - n
+
+    def flat(a):
+        a = a.reshape(8, n)
+        return jnp.pad(a, ((0, 0), (0, pad))) if pad else a
+
+    g_nm = jnp.pad(rows, ((0, pad), (0, 0))) if pad else rows
+    bspec = pl.BlockSpec((8, _B), lambda t: (0, t), memory_space=pltpu.VMEM)
+    img8, lab8 = pl.pallas_call(
+        _combine_blk_kernel,
+        grid=(npad // _B,),
+        in_specs=[
+            pl.BlockSpec((_B, _ROWS), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [bspec] * 4,
+        out_specs=(bspec, bspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, npad), jnp.float32),
+            jax.ShapeDtypeStruct((8, npad), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
+        interpret=_interpret(),
+    )(g_nm, flat(op), flat(fx), flat(fy), flat(fz))
+
+    # stage 3: compute form -> native volumes
+    def cf3(a):
+        return (a[:, :n] if pad else a).reshape(8, az * ay, ax)
+
+    img, lab = pl.pallas_call(
+        partial(_unblockify_kernel, gy=gy, ax=ax),
+        grid=grid,
+        in_specs=[cf_spec, cf_spec],
         out_specs=(vol_spec, vol_spec),
         out_shape=(
             jax.ShapeDtypeStruct((d, h, w), jnp.float32),
@@ -317,11 +399,5 @@ def extract_combine_native(rows, xc, yc, zc, az_arr, ay_arr, ax_arr, peak):
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
         interpret=_interpret(),
-    )(
-        rows3,
-        xc.astype(jnp.float32), yc.astype(jnp.float32), zc.astype(jnp.float32),
-        az_arr.reshape(az * ay, ax).astype(jnp.int32),
-        ay_arr.reshape(az * ay, ax).astype(jnp.int32),
-        ax_arr.reshape(az * ay, ax).astype(jnp.int32),
-    )
+    )(cf3(img8), cf3(lab8))
     return img * (peak / 65535.0), lab
