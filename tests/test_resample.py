@@ -239,6 +239,21 @@ def test_supercell_warp_native_kernel_matches_blockified(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(extra), np.asarray(extra_b))
 
 
+def test_supercell_table_kernel_matches_staged(rng, monkeypatch):
+    """The Pallas table build (pallas_warp.build_table_kernel) must be
+    BITWISE the staged stack build — both produce the edge-clamped
+    6x6x6 window per stride-2 anchor."""
+    from unet_studio_tpu.ops.resample import _supercell_table
+
+    vol = jnp.asarray(rng.random((12, 20, 16)).astype(np.float32) * 7.0)
+    monkeypatch.setenv("UNET_TPU_FORCE_PACKED", "1")  # kernel on, off-TPU
+    t_k, a_k = _supercell_table(vol)
+    monkeypatch.setenv("UNET_TPU_NO_TABLE_KERNEL", "1")
+    t_s, a_s = _supercell_table(vol)
+    assert a_k == a_s
+    np.testing.assert_array_equal(np.asarray(t_k), np.asarray(t_s))
+
+
 def test_supercell_linear_sampler_matches_sample_linear(rng):
     from unet_studio_tpu.ops.resample import SupercellLinearSampler
 

@@ -193,6 +193,109 @@ def extract_combine_packed(rows, oz, oy, ox, fz, fy, fx, valid, peak):
 
 
 # ---------------------------------------------------------------------------
+# supercell window-table builder (resample._supercell_table's kernel path)
+# ---------------------------------------------------------------------------
+
+
+def _table_planes_kernel(vp_hbm, tp_ref, slab, sem, *, gy, ax, w4):
+    """Stage 1 of the table build: one tile covers gy*ax supercells (one
+    z-anchor, gy y-anchors).  DMA the (6, 2*gy+4, W+4) source slab from
+    the PRE-PADDED volume (padding makes every window in-bounds — no
+    clamping), deinterleave the x parities via the transpose route, and
+    assemble the (gy, 216, ax) window-major block with one sublane
+    stack.  All shuffle products flow into the store (cheap — see the
+    three-stage warp tail note)."""
+    z = pl.program_id(0)
+    y0 = pl.program_id(1)
+    sy = slab.shape[1]  # 2*gy+4 rounded up to the 8-sublane tiling
+    cp = pltpu.make_async_copy(
+        vp_hbm.at[pl.ds(2 * z, 6), pl.ds(2 * gy * y0, sy), :],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    half = w4 // 2
+    planes = []
+    for iz in range(6):
+        pl_t = slab[iz, : 2 * gy + 4, :w4].T  # (W+4, 2gy+4)
+        pair = pl_t.reshape(half, 2, 2 * gy + 4)
+        by_x = []
+        for xp in range(2):
+            p = pair[:, xp].T  # (2gy+4, half), lanes x = 2k+xp
+            yp = p.reshape(gy + 2, 2, half)  # rows y = 2k+yp
+            by_x.append((yp[:, 0], yp[:, 1]))  # each (gy+2, half)
+        planes.append(by_x)
+
+    # per-window-index stores: Mosaic refuses to concatenate slices
+    # whose internal sublane/lane offsets differ, but a ref store
+    # normalizes each part on its way out
+    for iz in range(6):
+        for iy in range(6):
+            for ix in range(6):
+                q = planes[iz][ix % 2][iy % 2]
+                q = q[iy // 2 : iy // 2 + gy]  # rows 2j+iy
+                q = q[:, ix // 2 : ix // 2 + ax]  # (gy, ax)
+                tp_ref[:, (iz * 6 + iy) * 6 + ix, :] = q
+
+
+def _table_swap_kernel(tp_ref, out_ref):
+    """Stage 2: (gy, 216, ax) -> (gy, ax, 216) straight into the store —
+    the (N, 216) row-major table the XLA gather wants."""
+    out_ref[...] = tp_ref[...].transpose(0, 2, 1)
+
+
+def build_table_kernel(vol: jnp.ndarray):
+    """Pallas window-table build: (D,H,W) f32 -> (N, 216) rows, bitwise
+    equal to the staged stack build (tests/test_resample.py).  The
+    staged XLA form stages lane-hostile minor-6 shapes through DUS
+    chains + layout copies (~17 ms/item in-step at the flagship grid)."""
+    d, h, w = vol.shape
+    az, ay, ax = d // 2, h // 2, w // 2
+    gy = _pick_gy(ay, ax)
+    ng = ay // gy
+    p = 4  # _SC_L - stride
+    # slab sublane/lane dims rounded up to the (8, 128) tiling (DMA
+    # slice sizes must be tile-aligned); the volume's pads grow to match
+    sy = -(-(2 * gy + 4) // 8) * 8
+    wx = -(-(w + 4) // 128) * 128
+    vp = jnp.pad(vol, ((0, p), (0, sy - 2 * gy), (0, wx - w)), mode="edge")
+    tp_spec = pl.BlockSpec(
+        (gy, _ROWS, ax),
+        lambda z, t, _ng=ng: (z * _ng + t, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tp = pl.pallas_call(
+        partial(_table_planes_kernel, gy=gy, ax=ax, w4=w + 4),
+        grid=(az, ng),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=tp_spec,
+        out_shape=jax.ShapeDtypeStruct((az * ay, _ROWS, ax), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((6, sy, wx), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
+        interpret=_interpret(),
+    )(vp)
+    rows = pl.pallas_call(
+        _table_swap_kernel,
+        grid=(az, ng),
+        in_specs=[tp_spec],
+        out_specs=pl.BlockSpec(
+            (gy, ax, _ROWS),
+            lambda z, t, _ng=ng: (z * _ng + t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((az * ay, ax, _ROWS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
+        interpret=_interpret(),
+    )(tp)
+    return rows.reshape(az * ay * ax, _ROWS)
+
+
+# ---------------------------------------------------------------------------
 # native-layout variant: geometry in, volumes out — no XLA-side transposes
 # ---------------------------------------------------------------------------
 

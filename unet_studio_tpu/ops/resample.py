@@ -280,11 +280,29 @@ def _supercell_table(vol: jnp.ndarray):
     supercell design.  Callers must bound how many tables are live at
     once (see augment.py's one-extra-channel cap).
 
+    BUILD: on the kernel route, two pallas_calls (pallas_warp.py
+    ``build_table_kernel``) — slab DMA + transpose-route x-deinterleave
+    + sublane stack, then a lane/sublane swap straight into stores; the
+    XLA staged-stack fallback below stages lane-hostile minor-6 shapes
+    through DUS chains + layout copies (~17 ms/item in-step at the
+    flagship grid).  ``UNET_TPU_NO_TABLE_KERNEL=1`` restores the staged
+    build (A/B + fallback); both are bitwise equal (tested).
+
     (A one-hot conv_general_dilated im2col build was tried round 5 and
     REJECTED: 12.3 vs 6.9 ms on chip, and the MXU's default-precision
     bf16 products truncate the f32 window values — not exact.)"""
     d, h, w = vol.shape
     az, ay, ax = d // 2, h // 2, w // 2
+    if (
+        warp_kernel_active()
+        and not os.environ.get("UNET_TPU_NO_TABLE_KERNEL")
+        and supercell_warp_shape_ok((d, h, w))
+    ):
+        from .pallas_warp import _interpret, _pick_gy, build_table_kernel
+
+        # real-TPU DMA offsets (2*gy rows per tile) must be 8-aligned
+        if _interpret() or (2 * _pick_gy(ay, ax)) % 8 == 0:
+            return build_table_kernel(vol), (az, ay, ax)
     p = _SC_L - _SC_S  # window may reach index s*(A-1)+L-1 = dim+3
     vp = jnp.pad(vol, ((0, p), (0, p), (0, p)), mode="edge")
     t = jnp.stack([vp[i::2][:az] for i in range(_SC_L)], axis=-1)
