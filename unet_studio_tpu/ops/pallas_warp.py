@@ -423,12 +423,6 @@ def extract_combine_native(rows, xc, yc, zc, az_arr, ay_arr, ax_arr, peak):
     gy = _pick_gy(ay, ax)
     ng = ay // gy
     grid = (az, ng)
-    rows3 = rows.reshape(az * ay, ax, _ROWS)  # free major-dim split
-    row_spec = pl.BlockSpec(
-        (gy, ax, _ROWS),
-        lambda z, t, _ng=ng: (z * _ng + t, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
     vol_spec = pl.BlockSpec(
         (2, 2 * gy, w), lambda z, t: (z, t, 0), memory_space=pltpu.VMEM
     )
