@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _SC_L = 6  # window width per axis (must match ops.resample._SC_L)
 _ROWS = _SC_L**3
-_B = 512  # N-tile width (lanes); per-tile VMEM ~2 MB
+_B = 1024  # N-tile width (lanes); per-tile VMEM ~2 MB
 
 
 def _interpret() -> bool:
@@ -401,12 +401,12 @@ def _unblockify_kernel(a_ref, b_ref, oa_ref, ob_ref, *, gy, ax):
 
 def _pick_gy(ay: int, ax: int) -> int:
     """Largest divisor of Ay keeping the per-tile row block (gy*ax, 216)
-    f32 under ~1 MB, preferring >= 256 supercells per tile."""
+    f32 under ~2 MB, preferring >= 256 supercells per tile."""
     best = 1
     for gy in range(1, ay + 1):
         if ay % gy:
             continue
-        if gy * ax * _ROWS * 4 > (1 << 20):
+        if gy * ax * _ROWS * 4 > (2 << 20):
             break
         best = gy
     return best
